@@ -1,0 +1,174 @@
+"""Compensated / double-word arithmetic (L1): the TPU answer to mpmath.
+
+The reference escapes float64 conditioning problems by flipping every L0
+primitive to 20-digit mpmath loops (``option_mpmath``,
+``AKB_raytrace_20250312.py:91-92, 399-443``).  That layer exists because,
+near focus, OPL differences of ~1e-10 m ride on ~146 m path lengths
+(relative 1e-12) and the intersection discriminant cancels at grazing
+incidence.
+
+On TPU there is no fast f64, let alone mpmath.  The equivalents here are:
+
+* error-free transforms (``two_sum``, ``two_prod`` via Dekker splitting —
+  no FMA assumption) usable both in plain jnp and inside Pallas kernels;
+* a double-word ("df") number type: value = hi + lo with |lo| <= ulp(hi)/2,
+  giving ~2x the mantissa of the base dtype (f32 pair ~= 49 bits,
+  f64 pair ~= 106 bits > mp.dps=20's 66 bits);
+* compensated (Kahan/Neumaier) summation for OPL accumulation;
+* a compensated pairwise-distance delta for Huygens phases: computes
+  ``|t - s| - r_ref`` without cancellation so the O(N*M) kernel can run in
+  f32 with f64-equivalent phase accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class DF(NamedTuple):
+    """Double-word float: represents hi + lo exactly (unevaluated sum)."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def two_sum(a, b) -> DF:
+    """Error-free addition: a + b = s + e exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return DF(s, e)
+
+
+def fast_two_sum(a, b) -> DF:
+    """Error-free addition assuming |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return DF(s, e)
+
+
+def _split(a):
+    """Dekker split of a float into high/low parts (works for f32 and f64)."""
+    dt = jnp.asarray(a).dtype
+    # Split constant 2^s + 1 with s = ceil(mantissa_bits / 2).
+    c = jnp.array(4097.0 if dt == jnp.float32 else 134217729.0, dtype=dt)
+    t = c * a
+    hi = t - (t - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a, b) -> DF:
+    """Error-free multiplication: a * b = p + e exactly (Dekker, FMA-free)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return DF(p, e)
+
+
+def df_from(a) -> DF:
+    a = jnp.asarray(a)
+    return DF(a, jnp.zeros_like(a))
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s = two_sum(x.hi, y.hi)
+    t = two_sum(x.lo, y.lo)
+    c = s.lo + t.hi
+    v = fast_two_sum(s.hi, c)
+    w = t.lo + v.lo
+    return fast_two_sum(v.hi, w)
+
+
+def df_add_f(x: DF, y) -> DF:
+    s = two_sum(x.hi, y)
+    v = s.lo + x.lo
+    return fast_two_sum(s.hi, v)
+
+
+def df_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    p = two_prod(x.hi, y.hi)
+    e = p.lo + (x.hi * y.lo + x.lo * y.hi)
+    return fast_two_sum(p.hi, e)
+
+
+def df_mul_f(x: DF, y) -> DF:
+    p = two_prod(x.hi, y)
+    e = p.lo + x.lo * y
+    return fast_two_sum(p.hi, e)
+
+
+def df_sq(x: DF) -> DF:
+    return df_mul(x, x)
+
+
+def df_sqrt(x: DF) -> DF:
+    """Double-word sqrt via one Newton refinement of the base sqrt."""
+    s = jnp.sqrt(x.hi)
+    # r = x - s^2 computed exactly
+    s2 = two_prod(s, s)
+    r = (x.hi - s2.hi) - s2.lo + x.lo
+    safe = jnp.where(s > 0, s, 1.0)
+    e = r / (2.0 * safe)
+    return fast_two_sum(s, e)
+
+
+def df_to_float(x: DF):
+    return x.hi + x.lo
+
+
+def dot3_df(ax, ay, az, bx, by, bz) -> DF:
+    """Error-compensated 3-vector dot product."""
+    p1 = two_prod(ax, bx)
+    p2 = two_prod(ay, by)
+    p3 = two_prod(az, bz)
+    s = df_add(DF(*p1), DF(*p2))
+    return df_add(s, DF(*p3))
+
+
+def norm3_df(x, y, z) -> DF:
+    """Error-compensated Euclidean norm of a 3-vector."""
+    return df_sqrt(dot3_df(x, y, z, x, y, z))
+
+
+def kahan_sum(terms: jnp.ndarray, axis=None):
+    """Neumaier compensated sum along ``axis``.
+
+    Used for OPL accumulation: segment lengths are each ~O(1..100 m) and the
+    physically meaningful signal is sub-nm differences of their sums.
+    """
+    # jnp.cumsum-based compensation is awkward; for small static segment
+    # counts (<= 5 mirror legs) we fold pairwise with two_sum.
+    if axis is None:
+        flat = terms.reshape(-1)
+        acc = df_from(flat[0])
+        for k in range(1, flat.shape[0]):
+            acc = df_add_f(acc, flat[k])
+        return df_to_float(acc)
+    raise NotImplementedError("use sum_segments for per-ray segment sums")
+
+
+def sum_segments(segments) -> jnp.ndarray:
+    """Compensated per-ray sum of a short list of segment-length arrays."""
+    acc = df_from(segments[0])
+    for s in segments[1:]:
+        acc = df_add_f(acc, s)
+    return df_to_float(acc)
+
+
+def stable_sqrt_diff(d2: jnp.ndarray, r_ref: jnp.ndarray) -> jnp.ndarray:
+    """Cancellation-free ``sqrt(d2) - r_ref`` given r_ref ~ sqrt(d2):
+    ``(d2 - r_ref^2) / (sqrt(d2) + r_ref)``."""
+    r = jnp.sqrt(d2)
+    return (d2 - r_ref * r_ref) / (r + r_ref)

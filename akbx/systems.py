@@ -1,0 +1,544 @@
+"""System builders: KB (2-mirror) and AKB/Wolter (4-mirror) optical systems.
+
+Re-derivation of the reference's mirror-placement chains as pure, jit-able,
+differentiable functions:
+
+* ``build_wolter_3_1``  — the primary AKB engine's setup stage
+  (``plot_result_debug`` Wolter III+I variant,
+  AKB_raytrace_20250312.py:1902-2673): canonical conics -> axial rotations ->
+  chief-ray ("buf") pre-trace -> in-plane rotation by omega_V -> per-mirror
+  misalignment (pitch/roll/yaw about local axes + decenters along local axes).
+* ``build_kb``          — the KB engine's setup stage (``KB_debug``,
+  AKB_raytrace_20250312.py:10431-10934).
+
+Misalignment parameters follow the reference's 26-vector layout
+(documented at AKB_raytrace_20250312.py:14044-14055):
+``[defocus, astigH] + 4 x [pitch, roll, yaw, decenterX, decenterY, decenterZ]``
+in mirror order hyp_v, hyp_h, ell_v, ell_h.
+
+Known reference bugs fixed here (documented, covered by tests):
+* ``shift_z`` drops the ``h -= f*s`` update (see core/geometry.py).
+* decenterZ of ell_h swaps the x/z shift components
+  (AKB_raytrace_20250312.py:2613-2616); we shift along the actual axis vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from akbx.core import trig as tg
+
+from akbx.core import geometry as geo
+from akbx import design
+from akbx.surfaces import (Mirror, ellipse_coeffs, hyperbola_coeffs,
+                           make_mirror)
+
+
+class AlignParams(NamedTuple):
+    """The 26 alignment degrees of freedom (reference params vector)."""
+
+    defocus: jnp.ndarray
+    astig_h: jnp.ndarray
+    # per mirror: pitch, roll, yaw, dx, dy, dz — mirror order follows the
+    # reference: hyp_v, hyp_h, ell_v, ell_h
+    hyp_v: jnp.ndarray  # (6,)
+    hyp_h: jnp.ndarray  # (6,)
+    ell_v: jnp.ndarray  # (6,)
+    ell_h: jnp.ndarray  # (6,)
+
+    @staticmethod
+    def from_vector(v) -> "AlignParams":
+        v = jnp.asarray(v, dtype=jnp.float64)
+        return AlignParams(v[0], v[1], v[2:8], v[8:14], v[14:20], v[20:26])
+
+    def to_vector(self) -> jnp.ndarray:
+        return jnp.concatenate([
+            jnp.stack([self.defocus, self.astig_h]),
+            self.hyp_v, self.hyp_h, self.ell_v, self.ell_h,
+        ])
+
+    @staticmethod
+    def zeros() -> "AlignParams":
+        return AlignParams.from_vector(jnp.zeros(26, dtype=jnp.float64))
+
+
+@dataclasses.dataclass(frozen=True)
+class AKBSpec:
+    """Mirror design constants of a Wolter III+I AKB system.
+
+    Field names mirror the reference's "Setting" blocks
+    (AKB_raytrace_20250312.py:1372-1390, 1497-1515).
+    V pair = Wolter III (hyperbola then ellipse, deflecting z);
+    H pair = Wolter I (ellipse then hyperbola, deflecting y).
+    """
+
+    a_hyp_v: float
+    b_hyp_v: float
+    a_ell_v: float
+    b_ell_v: float
+    length_hyp_v: float
+    length_ell_v: float
+    theta1_v: float
+    a_ell_h: float
+    b_ell_h: float
+    a_hyp_h: float
+    b_hyp_h: float
+    length_hyp_h: float
+    length_ell_h: float
+    theta1_h: float
+
+    @property
+    def org_hyp_v(self):
+        return np.sqrt(self.a_hyp_v**2 + self.b_hyp_v**2)
+
+    @property
+    def org_ell_v(self):
+        return np.sqrt(self.a_ell_v**2 - self.b_ell_v**2)
+
+    @property
+    def org_ell_h(self):
+        return np.sqrt(self.a_ell_h**2 - self.b_ell_h**2)
+
+    @property
+    def org_hyp_h(self):
+        return np.sqrt(self.a_hyp_h**2 + self.b_hyp_h**2)
+
+
+# The reference's ACTIVE mirror constants ("3型 Setting12" + "1型 setting11",
+# the block under ``if True:  # 初期設定 2025/06/12``,
+# AKB_raytrace_20250312.py:1686-1745) — EUV design data.
+WOLTER_3_1_DEFAULT = AKBSpec(
+    a_hyp_v=72.9825, b_hyp_v=0.263879113520857,
+    a_ell_v=0.1175, b_ell_v=0.0283168369674688,
+    length_hyp_v=0.043, length_ell_v=0.0809220387326922,
+    theta1_v=5.55983241203018e-05,
+    a_ell_h=73.1076714403445, b_ell_h=0.517019631143022,
+    a_hyp_h=0.0077, b_hyp_h=0.00432051448679384,
+    length_hyp_h=0.01380360633, length_ell_h=0.030,
+    theta1_h=0.000145746388538841,
+)
+
+# Alternate design data: "3型 Setting1" + "1型 setting1"
+# (AKB_raytrace_20250312.py:1372-1390 and 1497-1515).
+WOLTER_3_1_SETTING1 = AKBSpec(
+    a_hyp_v=72.985, b_hyp_v=0.25261675784047,
+    a_ell_v=0.0933, b_ell_v=0.0236745564714402,
+    length_hyp_v=0.0345, length_ell_v=0.0594385752478948,
+    theta1_v=4.92519127861222e-05,
+    a_ell_h=73.07505, b_ell_h=0.420125678460643,
+    a_hyp_h=0.0072, b_hyp_h=0.00369271404399535,
+    length_hyp_h=0.01008239076, length_ell_h=0.026,
+    theta1_h=0.000109393749605896,
+)
+
+
+class OpticalSystem(NamedTuple):
+    """A placed, misaligned mirror chain ready for tracing (a pytree)."""
+
+    mirrors: tuple  # Mirror, in reflection order
+    s2f_middle: jnp.ndarray  # nominal source->focus distance along x
+    fan_h: jnp.ndarray  # (2,) source-fan angle range, horizontal (y)
+    fan_v: jnp.ndarray  # (2,) source-fan angle range, vertical (z)
+    source: jnp.ndarray  # (3,) source position
+    valid: jnp.ndarray  # geometry validity flag
+
+
+def _edges_on_conic(coeffs, theta1, length, y_of_x, vertical: bool):
+    """Chief-ray center + mirror edge coordinates on a canonical conic.
+
+    Reference: center_v/x1_v/y1_v blocks (AKB_raytrace_20250312.py:1909-1942).
+    """
+    d = (jnp.array([[tg.cos(theta1)], [0.0], [tg.sin(theta1)]])
+         if vertical else
+         jnp.array([[tg.cos(theta1)], [tg.sin(theta1)], [0.0]]))
+    center, _, ok = geo.intersect(coeffs, d, jnp.zeros((3, 1)))
+    x1 = center[0, 0] - length / 2
+    x2 = center[0, 0] + length / 2
+    y1 = y_of_x(x1)
+    y2 = y_of_x(x2)
+    return x1, y1, x2, y2, ok[0]
+
+
+def _apply_align_local(coeffs, axes, six, center):
+    """pitch/roll/yaw about local axes at ``center`` + local decenters.
+
+    Reference (independent-mirror path): AKB_raytrace_20250312.py:2521-2547
+    rotations, :2565-2616 decenters.  Rotation order yaw, pitch, roll
+    (V mirrors) — the H mirrors use pitch, yaw, roll; order only matters at
+    second order in the small angles, but we keep exact parity via ``order``.
+    """
+    pitch, roll, yaw = six[0], six[1], six[2]
+    dx, dy, dz = six[3], six[4], six[5]
+    ax_x, ax_y, ax_z = axes[0], axes[1], axes[2]
+    coeffs, _ = geo.rotate_about_axis(coeffs, ax_z, yaw, center)
+    coeffs, _ = geo.rotate_about_axis(coeffs, ax_y, pitch, center)
+    coeffs, _ = geo.rotate_about_axis(coeffs, ax_x, roll, center)
+    t = dx * ax_x + dy * ax_y + dz * ax_z
+    coeffs = geo.shift(coeffs, t)
+    return coeffs
+
+
+def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
+                     source_shift=(0.0, 0.0, 0.0),
+                     unit_coupled: bool = False) -> OpticalSystem:
+    """Place the four mirrors of a Wolter III+I AKB system.
+
+    Mirror order: hyp_V -> ell_V -> ell_H -> hyp_H (the hyp_H intersection
+    uses the negative root branch, reference :2820).
+    ``unit_coupled`` reproduces the reference's ``option_set`` Wolter-unit
+    coordinated alignment (:2459-2518); default is independent mirrors.
+    """
+    f64 = jnp.float64
+    src_shift = jnp.asarray(source_shift, dtype=f64)
+    org_hyp_v, org_ell_v = spec.org_hyp_v, spec.org_ell_v
+    org_ell_h, org_hyp_h = spec.org_ell_h, spec.org_hyp_h
+
+    # --- canonical conics and edge coordinates (reference :1902-1942) ---
+    c_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"), org_hyp_v)
+    x1_v, y1_v, x2_v, y2_v, ok_v = _edges_on_conic(
+        c_v, spec.theta1_v, spec.length_hyp_v,
+        lambda x: design.hyperbola_y(spec.a_hyp_v, spec.b_hyp_v, x), vertical=True)
+
+    c_h = geo.shift_x(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"), org_ell_h)
+    x1_h, y1_h, x2_h, y2_h, ok_h = _edges_on_conic(
+        c_h, spec.theta1_h, spec.length_ell_h,
+        lambda x: design.ellipse_y(spec.a_ell_h, spec.b_ell_h, x), vertical=False)
+
+    # --- in-plane rotation target omega_V (reference :2047-2051) ---
+    th_v1 = tg.arctan(y1_v / x1_v)
+    th_v2 = tg.arctan(y2_v / x2_v)
+    *_, t5_v1, _, _, _, _ = design.wolter_iii_angles(
+        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+        org_ell_v, th_v1)
+    *_, t5_v2, _, _, _, _ = design.wolter_iii_angles(
+        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+        org_ell_v, th_v2)
+    omega_v = (t5_v1 + t5_v2 + th_v1 + th_v2) / 2
+
+    # --- mirror 1: hyp_V (reference :1976-1989) ---
+    ax1 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"),
+                               org_hyp_v)
+    coeffs_hyp_v, R = geo.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax1 = (R @ ax1.T).T
+
+    # --- chief-ray pre-trace (reference :2144-2257) ---
+    theta_cntr_v = (th_v1 + th_v2) / 2
+    bufray = jnp.stack([
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]).at[2].set(tg.tan(th_v1 - theta_cntr_v)),
+        jnp.array([1.0, 0.0, 0.0]).at[2].set(tg.tan(th_v2 - theta_cntr_v)),
+    ], axis=1)
+    bufray = geo.normalize(bufray)
+    buf_src = jnp.zeros((3, 3))
+
+    center_hyp_v, _, okb1 = geo.intersect(coeffs_hyp_v, bufray, buf_src)
+    bufreflect1 = geo.reflect(bufray, geo.surface_normal(coeffs_hyp_v, center_hyp_v))
+
+    # --- mirror 2: ell_V (reference :2272-2296) ---
+    ax2 = jnp.eye(3, dtype=f64)
+    coeffs_ell_v = geo.shift_x(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz"),
+                               2 * org_hyp_v + org_ell_v)
+    coeffs_ell_v, R = geo.rotate_about_axis(coeffs_ell_v, ax2[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax2 = (R @ ax2.T).T
+    center_ell_v, _, okb2 = geo.intersect(coeffs_ell_v, bufreflect1, center_hyp_v)
+    bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(coeffs_ell_v, center_ell_v))
+
+    mean_center_ell_v = jnp.mean(center_ell_v[:, 1:], axis=1)
+
+    # --- mirror 3: ell_H (reference :2323-2352) ---
+    ax3 = jnp.eye(3, dtype=f64)
+    coeffs_ell_h = geo.shift_x(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"),
+                               org_ell_h + params.astig_h)
+    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax3[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax3 = (R @ ax3.T).T
+    center_ell_h, _, okb3 = geo.intersect(coeffs_ell_h, bufreflect2, center_ell_v)
+    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax3[1], omega_v,
+                                            mean_center_ell_v)
+    ax3 = (R @ ax3.T).T
+    center_ell_h, _, okb3b = geo.intersect(coeffs_ell_h, bufreflect2, center_ell_v)
+    bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(coeffs_ell_h, center_ell_h))
+
+    # --- mirror 4: hyp_H (reference :2364-2392) ---
+    ax4 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"),
+                               -org_hyp_h + 2 * org_ell_h + params.astig_h)
+    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax4[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax4 = (R @ ax4.T).T
+    center_hyp_h, _, okb4 = geo.intersect(coeffs_hyp_h, bufreflect3, center_ell_h,
+                                          branch=-1)
+    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax4[1], omega_v,
+                                            mean_center_ell_v)
+    ax4 = (R @ ax4.T).T
+    center_hyp_h, _, okb4b = geo.intersect(coeffs_hyp_h, bufreflect3, center_ell_h,
+                                           branch=-1)
+
+    # --- geometry sanity (reference np.inf early-returns :2418-2426) ---
+    no_conflict = (
+        (center_ell_v[0, 0] > center_hyp_v[0, 0])
+        & (center_ell_h[0, 0] > center_ell_v[0, 0])
+        & (center_hyp_h[0, 0] > center_ell_h[0, 0])
+    )
+    valid = (ok_v & ok_h & jnp.all(okb1) & jnp.all(okb2) & jnp.all(okb3)
+             & jnp.all(okb3b) & jnp.all(okb4) & jnp.all(okb4b) & no_conflict)
+
+    # --- misalignment (reference :2458-2616) ---
+    mean_c1 = jnp.mean(center_hyp_v[:, 1:], axis=1)
+    mean_c2 = jnp.mean(center_ell_v[:, 1:], axis=1)
+    mean_c3 = jnp.mean(center_ell_h[:, 1:], axis=1)
+    mean_c4 = jnp.mean(center_hyp_h[:, 1:], axis=1)
+
+    def rot(coeffs, axis, theta, center):
+        return geo.rotate_about_axis(coeffs, axis, theta, center)[0]
+
+    if unit_coupled:
+        # Wolter-unit coupling (reference option_set, :2459-2518):
+        # H mirrors rotate together about the H-unit center; the V hyperbola
+        # drives the V unit, with ell_v getting relative corrections.
+        center_wolter_h = (mean_c3 + mean_c4) / 2
+        p3, r3, y3 = params.ell_h[0], params.ell_h[1], params.ell_h[2]
+        p4, r4, y4 = params.hyp_h[0], params.hyp_h[1], params.hyp_h[2]
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[1], p3, center_wolter_h)
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[2], y3, center_wolter_h)
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[0], r3, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[1], p4, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[2], y4, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[0], r4, center_wolter_h)
+
+        center_wolter_v = (mean_c1 + mean_c2) / 2
+        p1, r1, y1 = params.hyp_v[0], params.hyp_v[1], params.hyp_v[2]
+        p2, r2, y2 = params.ell_v[0], params.ell_v[1], params.ell_v[2]
+        coeffs_hyp_v = rot(coeffs_hyp_v, ax1[2], y1, center_wolter_v)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[2], y1, center_wolter_v)
+        coeffs_hyp_v = rot(coeffs_hyp_v, ax1[1], p1, center_wolter_v)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[1], p1, center_wolter_v)
+        coeffs_hyp_v = rot(coeffs_hyp_v, ax1[0], r1, center_wolter_v)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[0], r1, center_wolter_v)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[2], y2 - y1, mean_c2)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[1], p2 - p1, mean_c2)
+        coeffs_ell_v = rot(coeffs_ell_v, ax2[0], r2 - r1, mean_c2)
+        # decenters along local axes (shared with the independent path)
+        for coeffs_name, axes, six in (("hyp_v", ax1, params.hyp_v),
+                                       ("hyp_h", ax4, params.hyp_h),
+                                       ("ell_v", ax2, params.ell_v),
+                                       ("ell_h", ax3, params.ell_h)):
+            t = six[3] * axes[0] + six[4] * axes[1] + six[5] * axes[2]
+            if coeffs_name == "hyp_v":
+                coeffs_hyp_v = geo.shift(coeffs_hyp_v, t)
+            elif coeffs_name == "hyp_h":
+                coeffs_hyp_h = geo.shift(coeffs_hyp_h, t)
+            elif coeffs_name == "ell_v":
+                coeffs_ell_v = geo.shift(coeffs_ell_v, t)
+            else:
+                coeffs_ell_h = geo.shift(coeffs_ell_h, t)
+    else:
+        coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v, mean_c1)
+        coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v, mean_c2)
+        coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax3, params.ell_h, mean_c3)
+        coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax4, params.hyp_h, mean_c4)
+
+    # --- detector geometry (reference :2396-2403) ---
+    s2f_H = -2 * org_hyp_h + 2 * org_ell_h
+    s2f_V = 2 * org_hyp_v + 2 * org_ell_v
+    s2f_middle = (s2f_H + s2f_V) / 2
+
+    # --- source-fan angle ranges (reference :2694-2704) ---
+    fan_h = jnp.stack([
+        tg.arctan((y1_h - src_shift[1]) / (x1_h - src_shift[0])) - spec.theta1_h,
+        tg.arctan((y2_h - src_shift[1]) / (x2_h - src_shift[0])) - spec.theta1_h,
+    ])
+    fan_v = jnp.stack([
+        tg.arctan((y1_v - src_shift[2]) / (x1_v - src_shift[0])) - spec.theta1_v,
+        tg.arctan((y2_v - src_shift[2]) / (x2_v - src_shift[0])) - spec.theta1_v,
+    ])
+
+    mirrors = (
+        make_mirror(coeffs_hyp_v, +1.0, mean_c1, ax1),
+        make_mirror(coeffs_ell_v, +1.0, mean_c2, ax2),
+        make_mirror(coeffs_ell_h, +1.0, mean_c3, ax3),
+        make_mirror(coeffs_hyp_h, -1.0, mean_c4, ax4),
+    )
+    return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
+                         fan_h, fan_v, src_shift, valid)
+
+
+@dataclasses.dataclass(frozen=True)
+class KBSpec:
+    """Design constants of a KB pair: two elliptical mirrors.
+
+    Mirror 1 deflects vertically (z), mirror 2 horizontally (y) — this
+    matches ``KB_debug``'s remapping of ``KB_define`` outputs where the
+    first-traced mirror takes the "h" ellipse (AKB_raytrace_20250312.py:
+    10284-10302).
+    """
+
+    a_v: float  # first mirror ellipse semi-major
+    b_v: float
+    a_h: float  # second mirror ellipse
+    b_h: float
+    theta1_v: float  # chief input angle of mirror 1
+    theta1_h: float
+    x1_v: float  # mirror 1 edge coordinates (canonical frame)
+    y1_v: float
+    x2_v: float
+    y2_v: float
+    x1_h: float
+    y1_h: float
+    x2_h: float
+    y2_h: float
+
+    @property
+    def org_v(self):
+        return np.sqrt(self.a_v**2 - self.b_v**2)
+
+    @property
+    def org_h(self):
+        return np.sqrt(self.a_h**2 - self.b_h**2)
+
+    @staticmethod
+    def from_kb_define(l1h, l2h, inc_h, mlen_h, wd_v, inc_v, mlen_v) -> "KBSpec":
+        """Build from the 7-parameter KB definition (KBdesign_7params form,
+        reference :100, :10036 + remapping :10284-10302)."""
+        kb = design.kb_define(l1h, l2h, inc_h, mlen_h, wd_v, inc_v, mlen_v)
+        return KBSpec(
+            a_v=float(kb.a_h), b_v=float(kb.b_h),
+            a_h=float(kb.a_v), b_h=float(kb.b_v),
+            theta1_v=float(kb.theta1_h), theta1_h=float(kb.theta1_v),
+            x1_v=float(kb.xh_s), y1_v=float(kb.yh_s),
+            x2_v=float(kb.xh_e), y2_v=float(kb.yh_e),
+            x1_h=float(kb.xv_s), y1_h=float(kb.yv_s),
+            x2_h=float(kb.xv_e), y2_h=float(kb.yv_e),
+        )
+
+    @staticmethod
+    def from_ellipse_na(ell1: "design.EllipseNA", ell2: "design.EllipseNA") -> "KBSpec":
+        """Build from NA-based designs (reference optKBdesign path,
+        :9758-9793: mirror-width-center input angle)."""
+        return KBSpec(
+            a_v=float(ell1.a), b_v=float(ell1.b),
+            a_h=float(ell2.a), b_h=float(ell2.b),
+            theta1_v=float(ell1.theta_i_cnt_m_wid),
+            theta1_h=float(ell2.theta_i_cnt_m_wid),
+            x1_v=float(ell1.x_1), y1_v=float(ell1.y_1),
+            x2_v=float(ell1.edge), y2_v=float(ell1.y_2),
+            x1_h=float(ell2.x_1), y1_h=float(ell2.y_1),
+            x2_h=float(ell2.edge), y2_h=float(ell2.y_2),
+        )
+
+
+def ellipse_layout(a, b, f, theta1):
+    """Single-ellipse layout: input angle -> focal-side angle & distances.
+
+    Parity: the single-ellipse ``print_optical_design`` inside KB_debug
+    (AKB_raytrace_20250312.py:10463-10493).
+    Returns (width1, width3, theta5, l1, l4, theta4).
+    """
+    l4 = (f**2 - 2 * f * a * tg.cos(theta1) + a**2) / (a - f * tg.cos(theta1))
+    l1 = 2 * a - l4
+    theta5 = tg.arcsin((2 * a - l4) * tg.sin(theta1) / l4)
+    theta4 = tg.arcsin(2 * f * tg.sin(theta1) / l4) / 2
+    return l1 * tg.cos(theta1), l4 * tg.cos(theta5), theta5, l1, l4, theta4
+
+
+def build_kb(spec: KBSpec, params: AlignParams,
+             source_shift=(0.0, 0.0, 0.0)) -> OpticalSystem:
+    """Place a KB pair (2 elliptical mirrors).
+
+    Reference: KB_debug mirror setup (AKB_raytrace_20250312.py:10431-10934).
+    The misalignment channels hyp_v / hyp_h of :class:`AlignParams` drive
+    mirrors 1 / 2 (matching the reference's naming).
+    """
+    f64 = jnp.float64
+    src_shift = jnp.asarray(source_shift, dtype=f64)
+    org_v, org_h = spec.org_v, spec.org_h
+
+    th_v1 = tg.arctan(spec.y1_v / spec.x1_v)
+    th_v2 = tg.arctan(spec.y2_v / spec.x2_v)
+    th_h1 = tg.arctan(spec.y1_h / spec.x1_h)
+    th_h2 = tg.arctan(spec.y2_h / spec.x2_h)
+
+    # omega_V from the focal-side edge angles (reference :10580-10582)
+    *_, t5_v1, _, _, _ = ellipse_layout(spec.a_v, spec.b_v, org_v, th_v1)
+    *_, t5_v2, _, _, _ = ellipse_layout(spec.a_v, spec.b_v, org_v, th_v2)
+    omega_v = (th_v1 + th_v2 + t5_v1 + t5_v2) / 2
+
+    # mirror 1 (V): ellipse in xz rotated about y by theta1_v (:10435-10447)
+    ax1 = jnp.eye(3, dtype=f64)
+    coeffs_1 = geo.shift_x(ellipse_coeffs(spec.a_v, spec.b_v, "xz"), org_v)
+    coeffs_1, R = geo.rotate_about_axis(coeffs_1, ax1[1], spec.theta1_v, jnp.zeros(3))
+    ax1 = (R @ ax1.T).T
+
+    # chief-ray pre-trace: center + 4 corners (:10584-10609)
+    theta_cntr_h = (th_h1 + th_h2) / 2
+    theta_cntr_v = (th_v1 + th_v2) / 2
+    ts_h = jnp.stack([tg.tan(spec.theta1_h),
+                      tg.tan(th_h1 - theta_cntr_h), tg.tan(th_h2 - theta_cntr_h),
+                      tg.tan(th_h2 - theta_cntr_h), tg.tan(th_h2 - theta_cntr_h)])
+    ts_v = jnp.stack([tg.tan(spec.theta1_v),
+                      tg.tan(th_v1 - theta_cntr_v), tg.tan(th_v1 - theta_cntr_v),
+                      tg.tan(th_v1 - theta_cntr_v), tg.tan(th_v2 - theta_cntr_v)])
+    bufray = geo.normalize(jnp.stack([jnp.ones(5), ts_h, ts_v]))
+    buf_src = jnp.zeros((3, 5))
+
+    center_1, _, okb1 = geo.intersect(coeffs_1, bufray, buf_src)
+    bufreflect1 = geo.reflect(bufray, geo.surface_normal(coeffs_1, center_1))
+
+    # mirror 2 (H): ellipse in xy, astig shift, rotated about z by -theta1_h,
+    # then in-plane rotation omega_V about its center (:10807-10847)
+    ax2 = jnp.eye(3, dtype=f64)
+    coeffs_2 = geo.shift_x(ellipse_coeffs(spec.a_h, spec.b_h, "xy"),
+                           org_h + params.astig_h)
+    coeffs_2, R = geo.rotate_about_axis(coeffs_2, jnp.eye(3, dtype=f64)[2],
+                                        -spec.theta1_h, jnp.zeros(3))
+    ax2 = (R @ ax2.T).T
+    center_2, _, okb2 = geo.intersect(coeffs_2, bufreflect1, center_1)
+    mean_c2 = jnp.mean(center_2[:, 1:], axis=1)
+    coeffs_2, R = geo.rotate_about_axis(coeffs_2, jnp.eye(3, dtype=f64)[1],
+                                        omega_v, mean_c2)
+    ax2 = (R @ ax2.T).T
+    center_2, _, okb2b = geo.intersect(coeffs_2, bufreflect1, center_1)
+
+    valid = jnp.all(okb1) & jnp.all(okb2) & jnp.all(okb2b)
+
+    # misalignment: mirror 1 rotates about global axes at its chief center
+    # (:10898-10903), mirror 2 about its local axes (:10906-10920); decenters
+    # are plain global shifts (:10922-10934).
+    c1 = center_1[:, 0]
+    mean_c2b = jnp.mean(center_2[:, 1:], axis=1)
+    p1, r1, y1 = params.hyp_v[0], params.hyp_v[1], params.hyp_v[2]
+    coeffs_1 = geo.rotate_y(coeffs_1, p1, c1)
+    coeffs_1 = geo.rotate_x(coeffs_1, r1, c1)
+    coeffs_1 = geo.rotate_z(coeffs_1, y1, c1)
+    p2, r2, y2 = params.hyp_h[0], params.hyp_h[1], params.hyp_h[2]
+    coeffs_2, _ = geo.rotate_about_axis(coeffs_2, ax2[1], p2, mean_c2b)
+    coeffs_2, _ = geo.rotate_about_axis(coeffs_2, ax2[2], y2, mean_c2b)
+    coeffs_2, _ = geo.rotate_about_axis(coeffs_2, ax2[0], r2, mean_c2b)
+    coeffs_1 = geo.shift(coeffs_1, params.hyp_v[3:6])
+    coeffs_2 = geo.shift(coeffs_2, params.hyp_h[3:6])
+
+    s2f_middle = (2 * org_h + 2 * org_v) / 2
+
+    # fan ranges: KB subtracts the mean edge angle (:10953-10956)
+    fan_h = jnp.stack([
+        tg.arctan((spec.y1_h - src_shift[1]) / (spec.x1_h - src_shift[0])) - theta_cntr_h,
+        tg.arctan((spec.y2_h - src_shift[1]) / (spec.x2_h - src_shift[0])) - theta_cntr_h,
+    ])
+    fan_v = jnp.stack([
+        tg.arctan((spec.y1_v - src_shift[2]) / (spec.x1_v - src_shift[0])) - theta_cntr_v,
+        tg.arctan((spec.y2_v - src_shift[2]) / (spec.x2_v - src_shift[0])) - theta_cntr_v,
+    ])
+
+    mirrors = (
+        make_mirror(coeffs_1, +1.0, c1, ax1),
+        make_mirror(coeffs_2, +1.0, mean_c2b, ax2),
+    )
+    return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
+                         fan_h, fan_v, src_shift, valid)

@@ -1,0 +1,227 @@
+"""Batched sequential ray tracing through a mirror chain (L3).
+
+The engine of the framework: a pure function from (system, alignment,
+ray-fan shape) to surface points, exit rays, detector intersections, OPLs
+and wavefront maps.  Replaces the reference's three ~2500-line
+``plot_result_debug`` variants + ``KB_debug`` with one engine — the mirror
+sequence is data (``OpticalSystem.mirrors``), not code.
+
+Key TPU-first choices:
+
+* rays are ``(3, N)`` arrays; the mirror loop is unrolled (2 or 4 bounces);
+  everything jits into one fused XLA program, differentiable end-to-end;
+* invalid rays carry a boolean mask (no batch-wide NaN poisoning);
+* OPL sums use compensated (double-word) accumulation
+  (:mod:`akbx.core.precision`) — the nm-scale wavefront signal rides on
+  ~1e2 m path lengths;
+* the reference's scipy ``interp1d`` exit-pupil re-fan (:2849-2905) becomes
+  ``jnp.interp``; its scipy ``griddata`` wavefront gridding is replaced by
+  a differentiable quasi-grid resample (:mod:`akbx.wavefront`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from akbx.core import geometry as geo
+from akbx.core import precision as pr
+from akbx.surfaces import intersect_and_reflect
+from akbx.systems import OpticalSystem
+
+
+def masked_mean(x, valid, axis=None):
+    w = valid.astype(x.dtype)
+    return jnp.sum(x * w, axis=axis) / jnp.maximum(jnp.sum(w, axis=axis), 1.0)
+
+
+def ray_fan(angles_h: jnp.ndarray, angles_v: jnp.ndarray) -> jnp.ndarray:
+    """Direction fan (3, nV*nH) from per-axis angle vectors.
+
+    Index layout matches the reference (:2710-2715): row-major with the
+    vertical angle varying slowly: ``idx = iV * nH + iH``.
+    """
+    th, tv = jnp.meshgrid(jnp.tan(angles_h), jnp.tan(angles_v))  # (nV, nH)
+    d = jnp.stack([jnp.ones_like(th), th, tv]).reshape(3, -1)
+    return geo.normalize(d)
+
+
+def fan_angles(fan: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Equally-spaced source angles across a (lo, hi) fan range."""
+    return jnp.linspace(fan[0], fan[1], n)
+
+
+class TraceResult(NamedTuple):
+    points: tuple  # per-mirror surface points (3, N)
+    directions: tuple  # incoming dir + per-mirror reflected dirs (3, N)
+    normals: tuple  # per-mirror unit normals (3, N)
+    segments: tuple  # per-leg path lengths (N,)
+    valid: jnp.ndarray  # (N,)
+
+    @property
+    def exit_rays(self):
+        return self.directions[-1]
+
+    @property
+    def exit_points(self):
+        return self.points[-1]
+
+
+def trace(system: OpticalSystem, rays: jnp.ndarray,
+          origins: jnp.ndarray) -> TraceResult:
+    """Sequential intersect->reflect through all mirrors
+    (reference :2770-2821, :2881-2897)."""
+    points, dirs, normals, segs = [], [rays], [], []
+    valid = jnp.ones(rays.shape[1], dtype=bool)
+    p = origins
+    d = rays
+    for mirror in system.mirrors:
+        pts, refl, n, seg, ok = intersect_and_reflect(mirror, d, p)
+        valid = valid & ok
+        points.append(pts)
+        dirs.append(refl)
+        normals.append(n)
+        segs.append(seg)
+        p, d = pts, refl
+    return TraceResult(tuple(points), tuple(dirs), tuple(normals),
+                       tuple(segs), valid)
+
+
+def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
+                              n_h: int, n_v: int):
+    """Re-derive source angles so *exit* angles are equally spaced.
+
+    The reference samples the exit angles of the center row/column, builds
+    scipy ``interp1d`` maps exit->input angle, and re-fans
+    (:2849-2879).  Same algorithm with ``jnp.interp`` (monotonicity-safe).
+    """
+    angle = result.exit_rays
+    angle_h = jnp.arctan(angle[1] / angle[0])
+    angle_v = jnp.arctan(angle[2] / angle[0])
+
+    # center column: iH = (n_h-1)//2, iV varies  (reference :2851-2852)
+    center_col = jnp.arange(n_v) * n_h + round((n_h - 1) / 2)
+    # center row: iV = (n_v-1)//2, iH varies  (reference :2854-2856)
+    center_row = round(n_v * (n_v - 1) / 2) + jnp.arange(n_h) if n_h == n_v \
+        else ((n_v - 1) // 2) * n_h + jnp.arange(n_h)
+
+    av = angle_v[center_col]
+    ah = angle_h[center_row]
+
+    def remap(a_exit, a_in, n):
+        eq = jnp.linspace(a_exit[0], a_exit[-1], n)
+        sign = jnp.where(a_exit[-1] >= a_exit[0], 1.0, -1.0)
+        return jnp.interp(sign * eq, sign * a_exit, a_in)
+
+    return remap(ah, rand_p0h, n_h), remap(av, rand_p0v, n_v)
+
+
+def detector_points(result: TraceResult, x_plane) -> jnp.ndarray:
+    """Intersect exit rays with the plane x = x_plane."""
+    return geo.plane_intersect(geo.detector_plane(x_plane), result.exit_rays,
+                               result.exit_points)
+
+
+def tilt_correct(result: TraceResult, detcenter: jnp.ndarray):
+    """Remove the mean exit-beam tilt (reference :3564-3601).
+
+    Rotates exit rays and exit points about the approximate focus so the
+    beam axis is +x.  Returns (new_exit_rays, new_exit_points, theta_y,
+    theta_z, focus_apprx).
+    """
+    angle = result.exit_rays
+    v = result.valid
+    theta_y = -masked_mean(jnp.arctan(angle[2] / angle[0]), v)
+    theta_z = masked_mean(jnp.arctan(angle[1] / angle[0]), v)
+    focus_apprx = masked_mean(detcenter, v[None, :], axis=1)
+    rays2 = geo.rotate_vectors_yz(result.exit_rays, -theta_y, -theta_z)
+    pts2 = geo.rotate_points_about(result.exit_points, focus_apprx,
+                                   -theta_y, -theta_z)
+    return rays2, pts2, theta_y, theta_z, focus_apprx
+
+
+class EngineResult(NamedTuple):
+    """Everything the analysis layers need from one full engine run."""
+
+    trace: TraceResult
+    detcenter: jnp.ndarray  # focal-plane intersections (3, N), tilt-corrected
+    detcenter2: jnp.ndarray  # defocused-plane intersections (3, N)
+    total_dist: jnp.ndarray  # OPL to focal plane (N,)
+    total_dist2: jnp.ndarray  # OPL to defocused plane (N,)
+    wave2: jnp.ndarray  # wavefront error on defocused plane [nm] (N,)
+    valid: jnp.ndarray
+    theta_y: jnp.ndarray
+    theta_z: jnp.ndarray
+    focus_apprx: jnp.ndarray
+    rand_p0h: jnp.ndarray
+    rand_p0v: jnp.ndarray
+
+
+def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
+        defocus_wave=1e-3, exit_pupil_uniform: bool = True,
+        tilt_correction: bool = True) -> EngineResult:
+    """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
+    -> tilt removal -> detector planes -> OPL -> wavefront.
+
+    Mirrors the reference 'ray_wave' path
+    (AKB_raytrace_20250312.py:2688-2905, 3564-3633).
+    """
+    rand_p0h = fan_angles(system.fan_h, n_h)
+    rand_p0v = fan_angles(system.fan_v, n_v)
+    src = system.source[:, None] * jnp.ones((1, n_h * n_v))
+
+    rays = ray_fan(rand_p0h, rand_p0v)
+    result = trace(system, rays, src)
+
+    if exit_pupil_uniform:
+        new_h, new_v = exit_pupil_uniform_angles(result, rand_p0h, rand_p0v,
+                                                 n_h, n_v)
+        rays = ray_fan(new_h, new_v)
+        result = trace(system, rays, src)
+        rand_p0h, rand_p0v = new_h, new_v
+
+    det_x = system.s2f_middle + defocus
+    detcenter = detector_points(result, det_x)
+
+    if tilt_correction:
+        rays2, pts2, theta_y, theta_z, focus_apprx = tilt_correct(result, detcenter)
+        result = result._replace(
+            points=result.points[:-1] + (pts2,),
+            directions=result.directions[:-1] + (rays2,),
+        )
+        detcenter = detector_points(result, det_x)
+    else:
+        theta_y = jnp.zeros(())
+        theta_z = jnp.zeros(())
+        focus_apprx = masked_mean(detcenter, result.valid[None, :], axis=1)
+
+    detcenter2 = detector_points(result, det_x + defocus_wave)
+
+    # OPL with compensated accumulation (reference :3623-3633)
+    d_last = jnp.linalg.norm(detcenter - result.exit_points, axis=0)
+    d_last2 = jnp.linalg.norm(detcenter2 - result.exit_points, axis=0)
+    total = pr.sum_segments(list(result.segments) + [d_last])
+    total2 = pr.sum_segments(list(result.segments) + [d_last2])
+
+    # wavefront on the defocused plane: OPL error minus reference sphere
+    # (reference :3626-3633, 3673-3677)
+    v = result.valid
+    mean_focus = masked_mean(detcenter, v[None, :], axis=1)
+    dist_err2 = (total2 - masked_mean(total2, v)) * 1e9
+    sph = jnp.linalg.norm(detcenter2 - mean_focus[:, None], axis=0) * 1e9
+    wave2 = dist_err2 - sph
+
+    return EngineResult(result, detcenter, detcenter2, total, total2, wave2,
+                        v, theta_y, theta_z, focus_apprx, rand_p0h, rand_p0v)
+
+
+def spot_size(detcenter: jnp.ndarray, valid: jnp.ndarray):
+    """Masked std of the spot in (horizontal, vertical)."""
+    w = valid.astype(detcenter.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mu_y = jnp.sum(detcenter[1] * w) / n
+    mu_z = jnp.sum(detcenter[2] * w) / n
+    sy = jnp.sqrt(jnp.sum(w * (detcenter[1] - mu_y) ** 2) / n)
+    sz = jnp.sqrt(jnp.sum(w * (detcenter[2] - mu_z) ** 2) / n)
+    return sy, sz

@@ -1,0 +1,109 @@
+"""L2 design: parity vs reference design formulas + geometric invariants."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from akbx import design
+
+from conftest import reference_available
+
+
+def test_ell_define_focus_property():
+    """All mirror-center path lengths via the ellipse equal 2a."""
+    a, b, t1, t3 = design.ell_define(146.0, 0.01, 0.5)
+    # mirror center point
+    x = 146.0 * np.cos(float(t1))
+    y = 146.0 * np.sin(float(t1))
+    f = np.sqrt(float(a) ** 2 - float(b) ** 2)
+    l1 = np.hypot(x, y)
+    l2 = np.hypot(2 * f - x, y)
+    np.testing.assert_allclose(l1 + l2, 2 * float(a), rtol=1e-12)
+
+
+def test_kb_define_focal_coincidence():
+    kb = design.kb_define(146.0, 0.086, 0.214 / 20, 0.060, 0.0211,
+                          0.21 / 20, 0.0232)
+    a_v, b_v = float(kb.a_v), float(kb.b_v)
+    s2f_v = np.sqrt(a_v**2 - b_v**2) * 2
+    np.testing.assert_allclose(s2f_v, float(kb.s2f_h), atol=2e-9)
+
+
+def test_ellipse_na_consistency():
+    e = design.EllipseNA(146.0, 0.3, 0.14, np.arcsin(0.082) * 2)
+    # edge point on the ellipse
+    x1, y1 = float(e.x_1), float(e.y_1)
+    a, b2, f = float(e.a), float(e.b2), float(e.f)
+    # rtol 1e-6: the quadratic-in-cos(theta) formulation has root t ~ 1-2e-7,
+    # so f64 root error (~1e-10 relative) amplifies by ~1/(1-t) in the
+    # membership residual; design-time quantity, traced geometry uses (a, b)
+    # directly and is unaffected.
+    np.testing.assert_allclose((x1 - f) ** 2 / a**2 + y1**2 / b2, 1.0, rtol=1e-6)
+    # l_i1 + l_i2-side distance = 2a for the output edge
+    lo2, li2 = float(e.l_o2), float(e.l_i2)
+    np.testing.assert_allclose(lo2 + li2, 2 * a, rtol=1e-12)
+    # output angles span the requested NA
+    np.testing.assert_allclose(float(e.theta_o2 - e.theta_o1),
+                               float(e.na_o), rtol=1e-12)
+
+
+def test_wolter_iii_angles_closure():
+    """Wolter III layout: l1/l2 satisfy the hyperbola focal property
+    (|l1 - l2| = 2a), l3+l4... the ellipse property via the shared focus."""
+    a_h, b_h = 72.985, 0.25261675784047
+    a_e, b_e = 0.0933, 0.0236745564714402
+    org_h = np.sqrt(a_h**2 + b_h**2)
+    org_e = np.sqrt(a_e**2 - b_e**2)
+    t2, t3, t4, t5, l1, l2, l3, l4 = (float(x) for x in design.wolter_iii_angles(
+        a_h, b_h, org_h, a_e, b_e, org_e, 4.92519127861222e-05))
+    # hyperbola focal property: |l1 - l2| = 2 a_hyp
+    np.testing.assert_allclose(l1 - l2, 2 * a_h, rtol=1e-9)
+    # ellipse focal property: the virtual-source leg + mirror leg + focus
+    # leg close to the ellipse's 2a (l3 = 2 a_e - l2 - l4 by construction)
+    np.testing.assert_allclose(l2 + l3 + l4, 2 * a_e, rtol=1e-9)
+    assert 0 < t2 < t3 < t5
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+class TestReferenceParity:
+    def test_ell_define_parity(self):
+        import EllipseRaytrace3D as ref
+
+        a, b, t1, t3 = design.ell_define(146.0, 0.0107, 0.086)
+        a_r, b_r, t1_r, t3_r = ref.Ell_define(146.0, 0.0107, 0.086)
+        np.testing.assert_allclose(
+            [float(a), float(b), float(t1), float(t3)],
+            [a_r, b_r, t1_r, t3_r], rtol=1e-12)
+
+    def test_kb_define_parity(self):
+        import EllipseRaytrace3D as ref
+
+        args = (146.0, 0.086, 0.214 / 20, 0.060, 0.0211, 0.21 / 20, 0.0232)
+        kb = design.kb_define(*args)
+        a_h, b_h, a_v, b_v, l1v, l2v, rest = ref.KB_define(*args)
+        np.testing.assert_allclose(float(kb.a_h), a_h, rtol=1e-12)
+        np.testing.assert_allclose(float(kb.b_h), b_h, rtol=1e-12)
+        np.testing.assert_allclose(float(kb.a_v), a_v, rtol=1e-10)
+        np.testing.assert_allclose(float(kb.b_v), b_v, rtol=1e-10)
+        np.testing.assert_allclose(float(kb.l1v), l1v, rtol=1e-10)
+        np.testing.assert_allclose(float(kb.na_h), rest[7], rtol=1e-10)
+        np.testing.assert_allclose(float(kb.na_v), rest[15], rtol=1e-8)
+        np.testing.assert_allclose(float(kb.gap), rest[18], rtol=1e-6)
+
+    def test_ellipse_na_parity(self):
+        import KB_design_NAbased as ref
+
+        na_o = np.float64(np.arcsin(0.082) * 2)
+        ours = design.EllipseNA(146.0, 0.3, 0.14, na_o)
+        theirs = ref.Ell(146.0, 0.3, 0.14, na_o)
+        # rtol 1e-6: the reference solves its quadratics with the naive
+        # (-B ± sqrt(D))/(2A), losing ~8 digits at grazing incidence; we use
+        # the stable q-form, so agreement is limited by *their* error.
+        for attr in ["a", "f", "theta_i1", "theta_o1", "theta_o2", "l_o2",
+                     "l_i2", "x_1", "x_2", "x_3", "y_1", "y_2", "m1", "m2",
+                     "edge", "theta_centre", "mirr_length", "p_centre",
+                     "q_centre", "omega_cnt_o_angle", "theta_i_cnt_m_wid"]:
+            np.testing.assert_allclose(
+                float(getattr(ours, attr)), float(getattr(theirs, attr)),
+                rtol=1e-6, err_msg=attr)
