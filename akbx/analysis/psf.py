@@ -20,7 +20,14 @@ import numpy as np
 
 
 def _complex_dtype():
-    if jax.default_backend() in ("tpu", "axon"):
+    """complex128 when the computation lands on CPU, complex64 on TPU.
+
+    ``jax.default_backend()`` alone is wrong here: the dev/CI image
+    force-registers a TPU platform while tests pin ``jax_default_device``
+    to CPU, so inspect the default device first."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform in ("tpu", "axon"):
         return jnp.complex64
     return jnp.complex128
 

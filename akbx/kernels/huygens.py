@@ -1,0 +1,247 @@
+"""Pallas TPU kernel for the Huygens O(N*M) contraction.
+
+The hot loop of the whole framework (reference ``compute_u_parallel``,
+Wavecalc_raytrace_fromData_CPU0402.py:71-85 / ``forward_propagation_cupy_batch``
+_GPU0402.py:139-201): for every target point i accumulate
+
+    u[i] += u_src[j] * ds[j] * exp(-i k r_ij) / r_ij .
+
+TPU has no fast f64, but EUV phases need ~1e-10 relative distances over
+metre-scale geometry (33+ mantissa bits).  The kernel therefore runs in
+**double-float32** ("df32") arithmetic from :mod:`akbx.core.precision`:
+
+* coordinates arrive as exact (hi, lo) f32 pairs of the f64 values,
+  re-centered at the stage centroid so they are O(1);
+* the squared distance, sqrt, and k*r product are df32 (~1e-12 relative,
+  validated in tests/test_precision.py) -> phase error ~1e-4 rad at EUV;
+* the phase is range-reduced mod 2pi in two df32 steps (f32 round can be
+  off by a few counts at n ~ 1e8; the second step removes that) before the
+  f32 sincos;
+* accumulation is f32 per source tile into the VMEM output block, revisited
+  across the source-tile grid dimension.
+
+Grid: (target_tiles, source_tiles); the output block depends only on the
+target tile, so Mosaic keeps it resident in VMEM across the source loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 6.283185307179586
+TWO_PI_HI32 = np.float32(6.2831855)
+TWO_PI_LO32 = np.float32(TWO_PI - float(np.float32(6.2831855)))
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    c = np.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _df_add(xh, xl, yh, yl):
+    sh, sl = _two_sum(xh, yh)
+    th, tl = _two_sum(xl, yl)
+    c = sl + th
+    vh, vl = _fast_two_sum(sh, c)
+    return _fast_two_sum(vh, tl + vl)
+
+
+def _df_mul(xh, xl, yh, yl):
+    ph, pl = _two_prod(xh, yh)
+    e = pl + (xh * yl + xl * yh)
+    return _fast_two_sum(ph, e)
+
+
+def _df_sq(xh, xl):
+    return _df_mul(xh, xl, xh, xl)
+
+
+def _df_sub(xh, xl, yh, yl):
+    return _df_add(xh, xl, -yh, -yl)
+
+
+def _df_sqrt(xh, xl):
+    s = jnp.sqrt(xh)
+    s2h, s2l = _two_prod(s, s)
+    r = (xh - s2h) - s2l + xl
+    safe = jnp.where(s > 0, s, 1.0)
+    e = r / (2.0 * safe)
+    return _fast_two_sum(s, e)
+
+
+def _huygens_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref, tzh_ref, tzl_ref,
+                    sxh_ref, sxl_ref, syh_ref, syl_ref, szh_ref, szl_ref,
+                    sre_ref, sim_ref, kk_ref,
+                    out_re_ref, out_im_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_re_ref[:] = jnp.zeros_like(out_re_ref)
+        out_im_ref[:] = jnp.zeros_like(out_im_ref)
+
+    # targets as columns (Tt, 1), sources as rows (1, Ts)
+    txh = txh_ref[0, :][:, None]
+    txl = txl_ref[0, :][:, None]
+    tyh = tyh_ref[0, :][:, None]
+    tyl = tyl_ref[0, :][:, None]
+    tzh = tzh_ref[0, :][:, None]
+    tzl = tzl_ref[0, :][:, None]
+    sxh = sxh_ref[0, :][None, :]
+    sxl = sxl_ref[0, :][None, :]
+    syh = syh_ref[0, :][None, :]
+    syl = syl_ref[0, :][None, :]
+    szh = szh_ref[0, :][None, :]
+    szl = szl_ref[0, :][None, :]
+
+    dxh, dxl = _df_sub(txh, txl, sxh, sxl)
+    dyh, dyl = _df_sub(tyh, tyl, syh, syl)
+    dzh, dzl = _df_sub(tzh, tzl, szh, szl)
+    x2h, x2l = _df_sq(dxh, dxl)
+    y2h, y2l = _df_sq(dyh, dyl)
+    z2h, z2l = _df_sq(dzh, dzl)
+    d2h, d2l = _df_add(x2h, x2l, y2h, y2l)
+    d2h, d2l = _df_add(d2h, d2l, z2h, z2l)
+    rh, rl = _df_sqrt(d2h, d2l)
+
+    kh = kk_ref[0, 0]
+    kl = kk_ref[0, 1]
+    ph, plo = _df_mul(rh, rl, kh, kl)  # phase magnitude k*r (sign applied below)
+
+    # two-step mod-2pi reduction of -k*r
+    ph, plo = -ph, -plo
+    n1 = jnp.round(ph / TWO_PI_HI32)
+    m1h, m1l = _two_prod(n1, TWO_PI_HI32)
+    ph, plo = _df_add(ph, plo, -m1h, -m1l)
+    ph, plo = _df_add(ph, plo, -n1 * TWO_PI_LO32, jnp.zeros_like(n1))
+    n2 = jnp.round(ph / TWO_PI_HI32)
+    m2h, m2l = _two_prod(n2, TWO_PI_HI32)
+    ph, plo = _df_add(ph, plo, -m2h, -m2l)
+    ph, plo = _df_add(ph, plo, -n2 * TWO_PI_LO32, jnp.zeros_like(n2))
+    phase = ph + plo
+
+    s = jnp.sin(phase)
+    c = jnp.cos(phase)
+    # guard r ~ 0 (padded lanes sit at the centroid; weight is 0 but
+    # 0 * inf would poison the sum)
+    inv_r = jnp.where(rh > 1e-12, 1.0 / rh, 0.0)
+
+    sre = sre_ref[0, :][None, :]
+    sim = sim_ref[0, :][None, :]
+    cr = c * inv_r
+    sr = s * inv_r
+    out_re_ref[:] += jnp.sum(cr * sre - sr * sim, axis=1)[None, :]
+    out_im_ref[:] += jnp.sum(sr * sre + cr * sim, axis=1)[None, :]
+
+
+def _split64(x64: jnp.ndarray):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+@functools.partial(jax.jit, static_argnames=("target_tile", "source_tile"))
+def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
+                    target_tile: int = 512, source_tile: int = 1024):
+    n = tgt_pts.shape[1]
+    m = src_pts.shape[1]
+    n_pad = (-n) % target_tile
+    m_pad = (-m) % source_tile
+
+    def pad1(a, p):
+        return jnp.pad(a, (0, p))
+
+    txh, txl = _split64(pad1(tgt_pts[0], n_pad))
+    tyh, tyl = _split64(pad1(tgt_pts[1], n_pad))
+    tzh, tzl = _split64(pad1(tgt_pts[2], n_pad))
+    # padded source points land at the centroid -> r ~ O(1), weight 0
+    sxh, sxl = _split64(pad1(src_pts[0], m_pad))
+    syh, syl = _split64(pad1(src_pts[1], m_pad))
+    szh, szl = _split64(pad1(src_pts[2], m_pad))
+    sre = pad1(src_re_w, m_pad).astype(jnp.float32)
+    sim = pad1(src_im_w, m_pad).astype(jnp.float32)
+
+    nt = (n + n_pad) // target_tile
+    ns = (m + m_pad) // source_tile
+
+    t_spec = pl.BlockSpec((1, target_tile), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, source_tile), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, target_tile), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    reshape_t = lambda a: a.reshape(nt, target_tile)
+    reshape_s = lambda a: a.reshape(ns, source_tile)
+
+    out_re, out_im = pl.pallas_call(
+        _huygens_kernel,
+        grid=(nt, ns),
+        in_specs=[t_spec] * 6 + [s_spec] * 6 + [s_spec, s_spec, k_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, target_tile), jnp.float32),
+            jax.ShapeDtypeStruct((nt, target_tile), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=260 * (n + n_pad) * (m + m_pad),
+            bytes_accessed=(n + n_pad) * 4 * 8 + (m + m_pad) * 4 * 8 * nt,
+            transcendentals=3 * (n + n_pad) * (m + m_pad),
+        ),
+    )(reshape_t(txh), reshape_t(txl), reshape_t(tyh), reshape_t(tyl),
+      reshape_t(tzh), reshape_t(tzl),
+      reshape_s(sxh), reshape_s(sxl), reshape_s(syh), reshape_s(syl),
+      reshape_s(szh), reshape_s(szl), reshape_s(sre), reshape_s(sim),
+      k_pair.reshape(1, 2))
+    return out_re.reshape(-1)[:n], out_im.reshape(-1)[:n]
+
+
+def propagate_pallas(source, target_points, wavelength: float,
+                     target_tile: int = 512, source_tile: int = 1024):
+    """df32 Pallas Huygens propagation.  Signature mirrors wave.propagate."""
+    k = 2.0 * math.pi / wavelength
+    center = jnp.concatenate([source.points, target_points], axis=1).mean(
+        axis=1, keepdims=True)
+    src_pts = source.points - center
+    tgt_pts = target_points - center
+    src_re = (source.re * source.ds).astype(jnp.float64)
+    src_im = (source.im * source.ds).astype(jnp.float64)
+    k_hi = np.float32(k)
+    k_lo = np.float32(k - float(k_hi))
+    k_pair = jnp.array([k_hi, k_lo], dtype=jnp.float32)
+    re, im = _huygens_pallas(tgt_pts, src_pts, src_re, src_im, k_pair,
+                             target_tile=target_tile, source_tile=source_tile)
+    return re.astype(jnp.float64), im.astype(jnp.float64)

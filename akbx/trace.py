@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from akbx.core import geometry as geo
@@ -160,18 +161,26 @@ class EngineResult(NamedTuple):
 
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
         defocus_wave=1e-3, exit_pupil_uniform: bool = True,
-        tilt_correction: bool = True) -> EngineResult:
+        tilt_correction: bool = True, ray_sharding=None) -> EngineResult:
     """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
     -> tilt removal -> detector planes -> OPL -> wavefront.
 
     Mirrors the reference 'ray_wave' path
     (AKB_raytrace_20250312.py:2688-2905, 3564-3633).
+
+    ``ray_sharding``: optional ``jax.sharding.NamedSharding`` (ray axis
+    last) applied to the generated fan via ``with_sharding_constraint`` so
+    the whole per-ray pipeline shards over the mesh (multi-chip data
+    parallelism over rays).
     """
     rand_p0h = fan_angles(system.fan_h, n_h)
     rand_p0v = fan_angles(system.fan_v, n_v)
     src = system.source[:, None] * jnp.ones((1, n_h * n_v))
 
     rays = ray_fan(rand_p0h, rand_p0v)
+    if ray_sharding is not None:
+        rays = jax.lax.with_sharding_constraint(rays, ray_sharding)
+        src = jax.lax.with_sharding_constraint(src, ray_sharding)
     result = trace(system, rays, src)
 
     if exit_pupil_uniform:

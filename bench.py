@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark: rays/s/chip forward+backward through the AKB 4-mirror system.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): 1e8 rays/s/chip fwd+bwd.
+
+Runs the measurement in a subprocess with a watchdog so a wedged TPU
+tunnel degrades to the CPU backend instead of hanging the driver.
+Secondary metrics go to stderr.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+BASELINE_RAYS_PER_S = 1e8
+
+WORKER = r"""
+import json, sys, time
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+sys.path.insert(0, %(repo)r)
+from akbx import trace
+from akbx.systems import AlignParams, WOLTER_3_1_DEFAULT, build_wolter_3_1
+
+n_h = n_v = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+n_rays = n_h * n_v
+
+def loss(vec):
+    system = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.from_vector(vec))
+    res = trace.run(system, n_h, n_v, defocus=vec[0],
+                    exit_pupil_uniform=False, tilt_correction=True)
+    w = res.total_dist - trace.masked_mean(res.total_dist, res.valid)
+    sy, sz = trace.spot_size(res.detcenter, res.valid)
+    return jnp.sum(jnp.where(res.valid, w, 0.0) ** 2) * 1e18 + sy + sz
+
+step = jax.jit(jax.value_and_grad(loss))
+v0 = jnp.zeros(26, dtype=jnp.float64)
+
+t0 = time.time()
+val, grad = step(v0)
+jax.block_until_ready(grad)
+compile_s = time.time() - t0
+
+# steady state
+n_iter = 3
+t0 = time.time()
+for i in range(n_iter):
+    val, grad = step(v0 + i * 1e-15)
+jax.block_until_ready(grad)
+dt = (time.time() - t0) / n_iter
+
+rays_per_s = n_rays / dt
+print(json.dumps({
+    "backend": jax.default_backend(),
+    "n_rays": n_rays,
+    "compile_s": compile_s,
+    "step_s": dt,
+    "rays_per_s": rays_per_s,
+    "loss": float(val),
+}))
+"""
+
+
+def run_worker(env_extra, n=256, timeout=900):
+    env = dict(os.environ)
+    env.update(env_extra)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", WORKER % {"repo": os.path.dirname(os.path.abspath(__file__))},
+             str(n)],
+            capture_output=True, text=True, timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if proc.returncode != 0:
+        return None, proc.stderr[-2000:]
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, "no json in output:\n" + proc.stdout[-500:]
+
+
+def main():
+    # try the TPU first (default env), fall back to pure CPU
+    tpu_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "1500"))
+    result, err = run_worker({}, n=256, timeout=tpu_timeout)
+    if result is None:
+        print(f"[bench] TPU attempt failed ({err[:200] if err else ''}); "
+              "falling back to CPU", file=sys.stderr)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        result, err = run_worker(
+            {"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"}, n=128, timeout=1500)
+    if result is None:
+        print(f"[bench] CPU fallback also failed: {err}", file=sys.stderr)
+        print(json.dumps({"metric": "akb_rays_per_s_fwd_bwd", "value": 0.0,
+                          "unit": "rays/s/chip", "vs_baseline": 0.0}))
+        return 1
+
+    print(f"[bench] backend={result['backend']} n_rays={result['n_rays']} "
+          f"compile={result['compile_s']:.1f}s step={result['step_s']*1e3:.2f}ms "
+          f"loss={result['loss']:.3e}", file=sys.stderr)
+    value = result["rays_per_s"]
+    print(json.dumps({
+        "metric": "akb_rays_per_s_fwd_bwd",
+        "value": value,
+        "unit": "rays/s/chip",
+        "vs_baseline": value / BASELINE_RAYS_PER_S,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Multi-chip distribution on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from akbx import trace, wave
+from akbx.parallel import sharding as sh
+from akbx.systems import AlignParams, WOLTER_3_1_DEFAULT, build_wolter_3_1
+
+RNG = np.random.default_rng(21)
+WAVELENGTH = 13.5e-9
+
+
+def cpu_mesh(n=8):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return sh.ray_mesh(n, devices=devs[:n])
+
+
+class TestShardedTrace:
+    def test_matches_single_device(self):
+        mesh = cpu_mesh(8)
+        sys_ = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.zeros())
+        res_s = sh.sharded_trace(sys_, 16, 16, 0.0, mesh,
+                                 exit_pupil_uniform=False,
+                                 tilt_correction=False)
+        res_1 = trace.run(sys_, 16, 16, defocus=0.0, exit_pupil_uniform=False,
+                          tilt_correction=False)
+        np.testing.assert_allclose(np.asarray(res_s.detcenter),
+                                   np.asarray(res_1.detcenter), atol=1e-12)
+        # the per-ray outputs really are sharded over the mesh
+        shard_devs = {s.device for s in res_s.detcenter.addressable_shards}
+        assert len(shard_devs) == 8
+
+
+class TestShardedHuygens:
+    def make_problem(self, n_src=96, n_tgt=160):
+        src = np.array([1.0, 0.0, 0.0])[:, None] + RNG.normal(size=(3, n_src)) * 0.01
+        tgt = np.array([1.5, 0.0, 0.0])[:, None] + RNG.normal(size=(3, n_tgt)) * 0.01
+        u0 = np.exp(1j * RNG.uniform(0, 2 * np.pi, n_src))
+        ds = np.full(n_src, 1e-6)
+        field = wave.WaveField.from_complex(src, u0, ds)
+        return field, jnp.array(tgt)
+
+    def test_target_sharded_matches(self):
+        mesh = cpu_mesh(8)
+        field, tgt = self.make_problem()
+        re_s, im_s = sh.huygens_sharded(field, tgt, WAVELENGTH, mesh,
+                                        chunk=64)
+        re_1, im_1 = wave.propagate(field, tgt, WAVELENGTH, chunk=64,
+                                    use_pallas=False)
+        np.testing.assert_allclose(np.asarray(re_s), np.asarray(re_1),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_ring_matches(self):
+        mesh = cpu_mesh(8)
+        field, tgt = self.make_problem(128, 128)
+        w_re = field.re * field.ds
+        w_im = field.im * field.ds
+        re_r, im_r = sh.huygens_ring(field.points, w_re, w_im, tgt,
+                                     WAVELENGTH, mesh)
+        re_1, im_1 = wave.propagate(field, tgt, WAVELENGTH, chunk=64,
+                                    use_pallas=False)
+        np.testing.assert_allclose(np.asarray(re_r), np.asarray(re_1),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(im_r), np.asarray(im_1),
+                                   rtol=1e-9, atol=1e-11)
+
+
+class TestTrainStep:
+    def test_figure_error_optimization_step(self):
+        """BASELINE config 5 shape: one gradient step on mirror figure
+        coefficients + alignment over a sharded ray batch reduces the loss
+        of a perturbed system."""
+        import optax
+
+        mesh = cpu_mesh(8)
+        spec = WOLTER_3_1_DEFAULT
+
+        def loss_fn(sys_, res):
+            w = res.total_dist - trace.masked_mean(res.total_dist, res.valid)
+            return jnp.sum(jnp.where(res.valid, w, 0.0) ** 2) * 1e18
+
+        step, loss, build = sh.make_train_step(
+            spec, loss_fn, optax.adam(1e-10), 8, 8, mesh)
+
+        figures = [jnp.zeros((2, 2)) for _ in range(4)]
+        figures[0] = figures[0].at[1, 0].set(5e-9)  # 5 nm tilt-like error
+        params = {"align": jnp.zeros(26), "figures": figures}
+        opt_state = optax.adam(1e-10).init(params)
+
+        l0 = float(loss(params))
+        opt_state, params, l1 = step(opt_state, params)
+        _, params, l2 = step(opt_state, params)
+        assert np.isfinite(l0) and np.isfinite(float(l2))
+        assert float(l2) <= l0 * 1.001  # non-increasing-ish
