@@ -542,3 +542,333 @@ def build_kb(spec: KBSpec, params: AlignParams,
     )
     return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
                          fan_h, fan_v, src_shift, valid)
+
+
+def _edge_angles(x1, y1, x2, y2):
+    return jnp.arctan(y1 / x1), jnp.arctan(y2 / x2)
+
+
+def build_wolter_3_3_tandem(spec: AKBSpec, params: AlignParams,
+                            source_shift=(0.0, 0.0, 0.0)) -> OpticalSystem:
+    """Wolter III+III tandem AKB: hyp_V -> ell_V -> hyp_H -> ell_H.
+
+    Reference: the ``option_wolter_3_3_tandem`` engine variant
+    (AKB_raytrace_20250312.py:4498-6950; conic setup :4782-4812, H mirrors
+    :5294-5420, s2f :5203-5207).  For this ordering both pairs are
+    hyperbola-then-ellipse; the AKBSpec's H fields are the H-pair
+    hyperbola (a_hyp_h, b_hyp_h) and ellipse (a_ell_h, b_ell_h) with
+    ``length_hyp_h`` the traced H mirror-1 length.
+    """
+    f64 = jnp.float64
+    src_shift = jnp.asarray(source_shift, dtype=f64)
+    org_hyp_v, org_ell_v = spec.org_hyp_v, spec.org_ell_v
+    org_hyp_h = spec.org_hyp_h
+    org_ell_h = np.sqrt(spec.a_ell_h**2 - spec.b_ell_h**2)
+
+    c_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"), org_hyp_v)
+    x1_v, y1_v, x2_v, y2_v, ok_v = _edges_on_conic(
+        c_v, spec.theta1_v, spec.length_hyp_v,
+        lambda x: design.hyperbola_y(spec.a_hyp_v, spec.b_hyp_v, x), vertical=True)
+    c_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"), org_hyp_h)
+    x1_h, y1_h, x2_h, y2_h, ok_h = _edges_on_conic(
+        c_h, spec.theta1_h, spec.length_hyp_h,
+        lambda x: design.hyperbola_y(spec.a_hyp_h, spec.b_hyp_h, x), vertical=False)
+
+    th_v1, th_v2 = _edge_angles(x1_v, y1_v, x2_v, y2_v)
+    *_, t5_v1, _, _, _, _ = design.wolter_iii_angles(
+        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+        org_ell_v, th_v1)
+    *_, t5_v2, _, _, _, _ = design.wolter_iii_angles(
+        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+        org_ell_v, th_v2)
+    omega_v = (th_v1 + th_v2 + t5_v1 + t5_v2) / 2  # reference :4906
+
+    # mirror 1: hyp_V
+    ax1 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"),
+                               org_hyp_v)
+    coeffs_hyp_v, R = geo.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax1 = (R @ ax1.T).T
+
+    theta_cntr_v = (th_v1 + th_v2) / 2
+    bufray = geo.normalize(jnp.stack([
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]).at[2].set(tg.tan(th_v1 - theta_cntr_v)),
+        jnp.array([1.0, 0.0, 0.0]).at[2].set(tg.tan(th_v2 - theta_cntr_v)),
+    ], axis=1))
+    center_hyp_v, _, okb1 = geo.intersect(coeffs_hyp_v, bufray, jnp.zeros((3, 3)))
+    bufreflect1 = geo.reflect(bufray, geo.surface_normal(coeffs_hyp_v, center_hyp_v))
+
+    # mirror 2: ell_V
+    ax2 = jnp.eye(3, dtype=f64)
+    coeffs_ell_v = geo.shift_x(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz"),
+                               2 * org_hyp_v + org_ell_v)
+    coeffs_ell_v, R = geo.rotate_about_axis(coeffs_ell_v, ax2[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax2 = (R @ ax2.T).T
+    center_ell_v, _, okb2 = geo.intersect(coeffs_ell_v, bufreflect1, center_hyp_v)
+    bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(coeffs_ell_v, center_ell_v))
+    mean_center_ell_v = jnp.mean(center_ell_v[:, 1:], axis=1)
+
+    # mirror 3: hyp_H (positive branch; reference :5294-5320)
+    ax3 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"),
+                               org_hyp_h + params.astig_h)
+    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax3[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax3 = (R @ ax3.T).T
+    center_hyp_h, _, okb3 = geo.intersect(coeffs_hyp_h, bufreflect2, center_ell_v)
+    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax3[1], omega_v,
+                                            mean_center_ell_v)
+    ax3 = (R @ ax3.T).T
+    center_hyp_h, _, okb3b = geo.intersect(coeffs_hyp_h, bufreflect2, center_ell_v)
+    bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(coeffs_hyp_h, center_hyp_h))
+
+    # mirror 4: ell_H (reference :5175-5200 within the tandem block)
+    ax4 = jnp.eye(3, dtype=f64)
+    coeffs_ell_h = geo.shift_x(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"),
+                               2 * org_hyp_h + org_ell_h + params.astig_h)
+    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax4[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax4 = (R @ ax4.T).T
+    center_ell_h, _, okb4 = geo.intersect(coeffs_ell_h, bufreflect3, center_hyp_h)
+    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax4[1], omega_v,
+                                            mean_center_ell_v)
+    ax4 = (R @ ax4.T).T
+    center_ell_h, _, okb4b = geo.intersect(coeffs_ell_h, bufreflect3, center_hyp_h)
+
+    valid = (ok_v & ok_h & jnp.all(okb1) & jnp.all(okb2) & jnp.all(okb3)
+             & jnp.all(okb3b) & jnp.all(okb4) & jnp.all(okb4b))
+
+    # misalignment (independent local-axis path; channel map: hyp_v, ell_v,
+    # hyp_h, ell_h)
+    mean_c1 = jnp.mean(center_hyp_v[:, 1:], axis=1)
+    mean_c2 = jnp.mean(center_ell_v[:, 1:], axis=1)
+    mean_c3 = jnp.mean(center_hyp_h[:, 1:], axis=1)
+    mean_c4 = jnp.mean(center_ell_h[:, 1:], axis=1)
+    coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v, mean_c1)
+    coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v, mean_c2)
+    coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax3, params.hyp_h, mean_c3)
+    coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax4, params.ell_h, mean_c4)
+
+    s2f_H = 2 * org_hyp_h + 2 * org_ell_h  # reference :5203
+    s2f_V = 2 * org_hyp_v + 2 * org_ell_v
+    s2f_middle = (s2f_H + s2f_V) / 2
+
+    # fan offsets: the 3_3 engines subtract the MEAN edge angle
+    # (KB-style), not theta1 (verified against the oracle's traced fan)
+    cntr_h = (tg.arctan(y1_h / x1_h) + tg.arctan(y2_h / x2_h)) / 2
+    cntr_v = (tg.arctan(y1_v / x1_v) + tg.arctan(y2_v / x2_v)) / 2
+    fan_h = jnp.stack([
+        tg.arctan((y1_h - src_shift[1]) / (x1_h - src_shift[0])) - cntr_h,
+        tg.arctan((y2_h - src_shift[1]) / (x2_h - src_shift[0])) - cntr_h,
+    ])
+    fan_v = jnp.stack([
+        tg.arctan((y1_v - src_shift[2]) / (x1_v - src_shift[0])) - cntr_v,
+        tg.arctan((y2_v - src_shift[2]) / (x2_v - src_shift[0])) - cntr_v,
+    ])
+
+    mirrors = (
+        make_mirror(coeffs_hyp_v, +1.0, mean_c1, ax1),
+        make_mirror(coeffs_ell_v, +1.0, mean_c2, ax2),
+        make_mirror(coeffs_hyp_h, +1.0, mean_c3, ax3),
+        make_mirror(coeffs_ell_h, +1.0, mean_c4, ax4),
+    )
+    return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
+                         fan_h, fan_v, src_shift, valid)
+
+
+def build_wolter_3_3_alternating(spec: AKBSpec, params: AlignParams,
+                                 source_shift=(0.0, 0.0, 0.0),
+                                 two_mirror_only: bool = False) -> OpticalSystem:
+    """Wolter III+III alternating AKB: hyp_V -> hyp_H -> ell_V -> ell_H.
+
+    Reference: the alternating engine variant
+    (AKB_raytrace_20250312.py:6951-9085; omegas :7202-7204, placements
+    :7458-7670).  ``two_mirror_only`` reproduces ``option_2mirror=False``
+    (reference :6960-6966 area): only the V Wolter-III pair is traced.
+    """
+    f64 = jnp.float64
+    src_shift = jnp.asarray(source_shift, dtype=f64)
+    org_hyp_v, org_ell_v = spec.org_hyp_v, spec.org_ell_v
+    org_hyp_h = spec.org_hyp_h
+    org_ell_h = np.sqrt(spec.a_ell_h**2 - spec.b_ell_h**2)
+
+    c_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"), org_hyp_v)
+    x1_v, y1_v, x2_v, y2_v, ok_v = _edges_on_conic(
+        c_v, spec.theta1_v, spec.length_hyp_v,
+        lambda x: design.hyperbola_y(spec.a_hyp_v, spec.b_hyp_v, x), vertical=True)
+    c_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"), org_hyp_h)
+    x1_h, y1_h, x2_h, y2_h, ok_h = _edges_on_conic(
+        c_h, spec.theta1_h, spec.length_hyp_h,
+        lambda x: design.hyperbola_y(spec.a_hyp_h, spec.b_hyp_h, x), vertical=False)
+
+    th_v1, th_v2 = _edge_angles(x1_v, y1_v, x2_v, y2_v)
+    th_h1, th_h2 = _edge_angles(x1_h, y1_h, x2_h, y2_h)
+
+    def wiii_v(theta):
+        return design.wolter_iii_angles(spec.a_hyp_v, spec.b_hyp_v, org_hyp_v,
+                                        spec.a_ell_v, spec.b_ell_v, org_ell_v,
+                                        theta)
+
+    def wiii_h(theta):
+        return design.wolter_iii_angles(spec.a_hyp_h, spec.b_hyp_h, org_hyp_h,
+                                        spec.a_ell_h, spec.b_ell_h, org_ell_h,
+                                        theta)
+
+    _, t3_v1, _, t5_v1, *_ = wiii_v(th_v1)
+    _, t3_v2, _, t5_v2, *_ = wiii_v(th_v2)
+    _, t3_h1, _, t5_h1, *_ = wiii_h(th_h1)
+    _, t3_h2, _, t5_h2, *_ = wiii_h(th_h2)
+    # reference :7202-7204
+    omega_v1 = (t3_v1 + t3_v2 - th_v1 - th_v2) / 2
+    omega_h1 = (t3_h1 + t3_h2 - th_h1 - th_h2) / 2
+    omega_v2 = (th_v1 + th_v2 + t5_v1 + t5_v2) / 2
+
+    # mirror 1: hyp_V
+    ax1 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"),
+                               org_hyp_v)
+    coeffs_hyp_v, R = geo.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax1 = (R @ ax1.T).T
+
+    # KB-style 5-ray chief pre-trace (reference :7246-7283)
+    theta_cntr_h = (th_h1 + th_h2) / 2
+    theta_cntr_v = (th_v1 + th_v2) / 2
+    ts_h = jnp.stack([tg.tan(spec.theta1_h),
+                      tg.tan(th_h1 - theta_cntr_h), tg.tan(th_h2 - theta_cntr_h),
+                      tg.tan(th_h2 - theta_cntr_h), tg.tan(th_h2 - theta_cntr_h)])
+    ts_v = jnp.stack([tg.tan(spec.theta1_v),
+                      tg.tan(th_v1 - theta_cntr_v), tg.tan(th_v1 - theta_cntr_v),
+                      tg.tan(th_v1 - theta_cntr_v), tg.tan(th_v2 - theta_cntr_v)])
+    bufray = geo.normalize(jnp.stack([jnp.ones(5), ts_h, ts_v]))
+    center_hyp_v, _, okb1 = geo.intersect(coeffs_hyp_v, bufray, jnp.zeros((3, 5)))
+    bufreflect1 = geo.reflect(bufray, geo.surface_normal(coeffs_hyp_v, center_hyp_v))
+
+    # mirror 2: hyp_H (reference :7458-7489)
+    ax2 = jnp.eye(3, dtype=f64)
+    coeffs_hyp_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"),
+                               org_hyp_h + params.astig_h)
+    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax2[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax2 = (R @ ax2.T).T
+    center_hyp_h, _, okb2 = geo.intersect(coeffs_hyp_h, bufreflect1, center_hyp_v)
+    coeffs_hyp_h, R = geo.rotate_about_axis(
+        coeffs_hyp_h, ax2[1], -omega_v1, jnp.mean(center_hyp_h[:, 1:], axis=1))
+    ax2 = (R @ ax2.T).T
+    center_hyp_h, _, okb2b = geo.intersect(coeffs_hyp_h, bufreflect1, center_hyp_v)
+    bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(coeffs_hyp_h, center_hyp_h))
+
+    # mirror 3: ell_V (reference :7507-7531)
+    ax3 = jnp.eye(3, dtype=f64)
+    coeffs_ell_v = geo.shift_x(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz"),
+                               2 * org_hyp_v + org_ell_v)
+    coeffs_ell_v, R = geo.rotate_about_axis(coeffs_ell_v, ax3[1], spec.theta1_v,
+                                            jnp.zeros(3))
+    ax3 = (R @ ax3.T).T
+    center_ell_v, _, okb3 = geo.intersect(coeffs_ell_v, bufreflect2, center_hyp_h)
+    coeffs_ell_v, R = geo.rotate_about_axis(
+        coeffs_ell_v, ax3[2], omega_h1, jnp.mean(center_ell_v[:, 1:], axis=1))
+    ax3 = (R @ ax3.T).T
+    center_ell_v, _, okb3b = geo.intersect(coeffs_ell_v, bufreflect2, center_hyp_h)
+    bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(coeffs_ell_v, center_ell_v))
+
+    # mirror 4: ell_H (reference :7595-7620)
+    ax4 = jnp.eye(3, dtype=f64)
+    coeffs_ell_h = geo.shift_x(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"),
+                               2 * org_hyp_h + org_ell_h + params.astig_h)
+    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax4[2], -spec.theta1_h,
+                                            jnp.zeros(3))
+    ax4 = (R @ ax4.T).T
+    center_ell_h, _, okb4 = geo.intersect(coeffs_ell_h, bufreflect3, center_ell_v)
+    coeffs_ell_h, R = geo.rotate_about_axis(
+        coeffs_ell_h, ax4[1], omega_v2, jnp.mean(center_ell_h[:, 1:], axis=1))
+    ax4 = (R @ ax4.T).T
+    center_ell_h, _, okb4b = geo.intersect(coeffs_ell_h, bufreflect3, center_ell_v)
+
+    valid = (ok_v & ok_h & jnp.all(okb1) & jnp.all(okb2) & jnp.all(okb2b)
+             & jnp.all(okb3) & jnp.all(okb3b) & jnp.all(okb4) & jnp.all(okb4b))
+
+    mean_c1 = jnp.mean(center_hyp_v[:, 1:], axis=1)
+    mean_c2 = jnp.mean(center_hyp_h[:, 1:], axis=1)
+    mean_c3 = jnp.mean(center_ell_v[:, 1:], axis=1)
+    mean_c4 = jnp.mean(center_ell_h[:, 1:], axis=1)
+    coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v, mean_c1)
+    coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax2, params.hyp_h, mean_c2)
+    coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax3, params.ell_v, mean_c3)
+    coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax4, params.ell_h, mean_c4)
+
+    s2f_H = 2 * org_hyp_h + 2 * org_ell_h
+    s2f_V = 2 * org_hyp_v + 2 * org_ell_v
+    s2f_middle = (s2f_V if two_mirror_only else (s2f_H + s2f_V) / 2)
+
+    fan_h = jnp.stack([
+        tg.arctan((y1_h - src_shift[1]) / (x1_h - src_shift[0])) - theta_cntr_h,
+        tg.arctan((y2_h - src_shift[1]) / (x2_h - src_shift[0])) - theta_cntr_h,
+    ])
+    if two_mirror_only:
+        # reference option_2mirror=False: near-zero H fan (:10960-10964 style)
+        fan_h = jnp.stack([jnp.asarray(-1e-9, dtype=f64),
+                           jnp.asarray(1e-9, dtype=f64)])
+    fan_v = jnp.stack([
+        tg.arctan((y1_v - src_shift[2]) / (x1_v - src_shift[0])) - theta_cntr_v,
+        tg.arctan((y2_v - src_shift[2]) / (x2_v - src_shift[0])) - theta_cntr_v,
+    ])
+
+    if two_mirror_only:
+        mirrors = (
+            make_mirror(coeffs_hyp_v, +1.0, mean_c1, ax1),
+            make_mirror(coeffs_ell_v, +1.0, mean_c3, ax3),
+        )
+    else:
+        mirrors = (
+            make_mirror(coeffs_hyp_v, +1.0, mean_c1, ax1),
+            make_mirror(coeffs_hyp_h, +1.0, mean_c2, ax2),
+            make_mirror(coeffs_ell_v, +1.0, mean_c3, ax3),
+            make_mirror(coeffs_ell_h, +1.0, mean_c4, ax4),
+        )
+    return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
+                         fan_h, fan_v, src_shift, valid)
+
+
+def build_system(ordering, spec: AKBSpec, params: AlignParams, **kw) -> OpticalSystem:
+    """Dispatch on :class:`akbx.config.WolterOrdering` (the reference's
+    option_wolter_* globals, :80-82, as data)."""
+    from akbx.config import WolterOrdering
+
+    ordering = WolterOrdering(ordering)
+    if ordering == WolterOrdering.WOLTER_3_1:
+        return build_wolter_3_1(spec, params, **kw)
+    if ordering == WolterOrdering.WOLTER_3_3_TANDEM:
+        return build_wolter_3_3_tandem(spec, params, **kw)
+    return build_wolter_3_3_alternating(spec, params, **kw)
+
+
+# The reference's active tandem-variant constants (the option_HighNA branch
+# of the tandem engine's Setting block, AKB_raytrace_20250312.py:4562-4631;
+# the second group sits in the disabled hard-X else branch).
+WOLTER_3_3_TANDEM_DEFAULT = AKBSpec(
+    a_hyp_v=72.9848, b_hyp_v=0.210324155665437,
+    a_ell_v=0.3257, b_ell_v=0.0609957911371367,
+    length_hyp_v=0.05, length_ell_v=0.316162847545838,
+    theta1_v=4.13752081278497e-05,
+    a_ell_h=0.101, b_ell_h=0.0261430961181383,
+    a_hyp_h=73.206937469515, b_hyp_h=0.282536782718687,
+    length_hyp_h=0.043, length_ell_h=0.0593351486637329,
+    theta1_h=6.33460806383912e-05,
+)
+
+# The reference's active alternating-variant constants (HighNA branch,
+# AKB_raytrace_20250312.py:6959-6973).
+WOLTER_3_3_ALT_DEFAULT = AKBSpec(
+    a_hyp_v=72.96002945938, b_hyp_v=0.134829747201017,
+    a_ell_v=0.442, b_ell_v=0.0607128830733533,
+    length_hyp_v=0.115, length_ell_v=0.229790269646258,
+    theta1_v=4.73536529533549e-05,
+    a_ell_h=0.38125, b_ell_h=0.0397791317992322,
+    a_hyp_h=73.018730871665, b_hyp_h=0.0970536727319812,
+    length_hyp_h=0.25, length_ell_h=0.0653872838592807,
+    theta1_h=5.6880350884129e-05,
+)

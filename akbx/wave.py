@@ -68,12 +68,17 @@ class WaveField(NamedTuple):
 
     @staticmethod
     def from_complex(points, u, ds=None, n_h=0, n_v=0) -> "WaveField":
+        import numpy as _np
+
         points = jnp.asarray(points, dtype=jnp.float64)
-        u = jnp.asarray(u)
+        # split on the HOST: a complex128 array must never reach the TPU
+        # (unsupported element type C128)
+        u_host = _np.asarray(u)
+        re = jnp.asarray(_np.real(u_host), dtype=jnp.float64)
+        im = jnp.asarray(_np.imag(u_host), dtype=jnp.float64)
         if ds is None:
             ds = jnp.ones(points.shape[1], dtype=jnp.float64)
-        return WaveField(points, jnp.real(u).astype(jnp.float64),
-                         jnp.imag(u).astype(jnp.float64),
+        return WaveField(points, re, im,
                          jnp.asarray(ds, dtype=jnp.float64), n_h, n_v)
 
     @property

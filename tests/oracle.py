@@ -38,10 +38,17 @@ def _stub_modules():
         sys.modules["tifffile"] = tif
 
 
-def load_akb_engine():
-    """Import AKB_raytrace_20250312 (wolter_3_1 variant active) once."""
-    if "akb" in _cache:
-        return _cache["akb"]
+def load_akb_engine(variant: str = "wolter_3_1"):
+    """Import AKB_raytrace_20250312 with the requested engine variant.
+
+    The reference selects among its three AKB engines with module-level
+    booleans evaluated at import (:80-82), so for the non-default variants
+    we execute the module source with those two assignments flipped — no
+    code is modified on disk, the mounted reference stays the ground truth.
+    """
+    key = f"akb:{variant}"
+    if key in _cache:
+        return _cache[key]
     _stub_modules()
     os.environ.setdefault("MPLBACKEND", "Agg")
     if _REF not in sys.path:
@@ -50,10 +57,32 @@ def load_akb_engine():
     tmp = tempfile.mkdtemp(prefix="akb_oracle_")
     try:
         os.chdir(tmp)
-        import AKB_raytrace_20250312 as mod
+        if variant == "wolter_3_1":
+            import AKB_raytrace_20250312 as mod
+        else:
+            flags = {
+                "wolter_3_3_tandem": ("option_wolter_3_1 = False",
+                                      "option_wolter_3_3_tandem = True"),
+                "wolter_3_3_alternating": ("option_wolter_3_1 = False",
+                                           "option_wolter_3_3_tandem = False"),
+            }[variant]
+            src_path = os.path.join(_REF, "AKB_raytrace_20250312.py")
+            with open(src_path, encoding="utf-8") as f:
+                src = f.read()
+            src = src.replace("option_wolter_3_1 = True", flags[0])
+            src = src.replace("option_wolter_3_3_tandem = False", flags[1])
+            import importlib.util
+
+            name = f"AKB_oracle_{variant}"
+            spec = importlib.util.spec_from_loader(name, loader=None,
+                                                   origin=src_path)
+            mod = importlib.util.module_from_spec(spec)
+            mod.__file__ = src_path
+            sys.modules[name] = mod
+            exec(compile(src, src_path, "exec"), mod.__dict__)
     finally:
         os.chdir(cwd)
-    _cache["akb"] = mod
+    _cache[key] = mod
     return mod
 
 
