@@ -108,19 +108,20 @@ def _huygens_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref, tzh_ref, tzl_ref,
         out_re_ref[:] = jnp.zeros_like(out_re_ref)
         out_im_ref[:] = jnp.zeros_like(out_im_ref)
 
-    # targets as columns (Tt, 1), sources as rows (1, Ts)
-    txh = txh_ref[0, :][:, None]
-    txl = txl_ref[0, :][:, None]
-    tyh = tyh_ref[0, :][:, None]
-    tyl = tyl_ref[0, :][:, None]
-    tzh = tzh_ref[0, :][:, None]
-    tzl = tzl_ref[0, :][:, None]
-    sxh = sxh_ref[0, :][None, :]
-    sxl = sxl_ref[0, :][None, :]
-    syh = syh_ref[0, :][None, :]
-    syl = syl_ref[0, :][None, :]
-    szh = szh_ref[0, :][None, :]
-    szl = szl_ref[0, :][None, :]
+    # targets arrive as (Tt, 1) columns, sources as (1, Ts) rows; the df32
+    # arithmetic below broadcasts them to (Tt, Ts) pair tiles
+    txh = txh_ref[:]
+    txl = txl_ref[:]
+    tyh = tyh_ref[:]
+    tyl = tyl_ref[:]
+    tzh = tzh_ref[:]
+    tzl = tzl_ref[:]
+    sxh = sxh_ref[:]
+    sxl = sxl_ref[:]
+    syh = syh_ref[:]
+    syl = syl_ref[:]
+    szh = szh_ref[:]
+    szl = szl_ref[:]
 
     dxh, dxl = _df_sub(txh, txl, sxh, sxl)
     dyh, dyl = _df_sub(tyh, tyl, syh, syl)
@@ -154,12 +155,12 @@ def _huygens_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref, tzh_ref, tzl_ref,
     # 0 * inf would poison the sum)
     inv_r = jnp.where(rh > 1e-12, 1.0 / rh, 0.0)
 
-    sre = sre_ref[0, :][None, :]
-    sim = sim_ref[0, :][None, :]
+    sre = sre_ref[:]
+    sim = sim_ref[:]
     cr = c * inv_r
     sr = s * inv_r
-    out_re_ref[:] += jnp.sum(cr * sre - sr * sim, axis=1)[None, :]
-    out_im_ref[:] += jnp.sum(sr * sre + cr * sim, axis=1)[None, :]
+    out_re_ref[:] += jnp.sum(cr * sre - sr * sim, axis=1, keepdims=True)
+    out_im_ref[:] += jnp.sum(sr * sre + cr * sim, axis=1, keepdims=True)
 
 
 def _split64(x64: jnp.ndarray):
@@ -192,17 +193,23 @@ def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
     nt = (n + n_pad) // target_tile
     ns = (m + m_pad) // source_tile
 
-    t_spec = pl.BlockSpec((1, target_tile), lambda i, j: (i, 0),
+    # targets as (N, 1) columns -> block (Tt, 1); sources as (1, M) rows ->
+    # block (1, Ts); both satisfy Mosaic's (8,128) tiling rules
+    # NB: with jax_enable_x64 a literal 0 in an index map becomes i64 while
+    # the grid indices are i32; Mosaic rejects the mixed-type return, so pin
+    # the constants to int32
+    zero = np.int32(0)
+    t_spec = pl.BlockSpec((target_tile, 1), lambda i, j: (i, zero),
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, source_tile), lambda i, j: (j, 0),
+    s_spec = pl.BlockSpec((1, source_tile), lambda i, j: (zero, j),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+    k_spec = pl.BlockSpec((1, 2), lambda i, j: (zero, zero),
                           memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, target_tile), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((target_tile, 1), lambda i, j: (i, zero),
                             memory_space=pltpu.VMEM)
 
-    reshape_t = lambda a: a.reshape(nt, target_tile)
-    reshape_s = lambda a: a.reshape(ns, source_tile)
+    reshape_t = lambda a: a.reshape(-1, 1)
+    reshape_s = lambda a: a.reshape(1, -1)
 
     out_re, out_im = pl.pallas_call(
         _huygens_kernel,
@@ -210,8 +217,8 @@ def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
         in_specs=[t_spec] * 6 + [s_spec] * 6 + [s_spec, s_spec, k_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((nt, target_tile), jnp.float32),
-            jax.ShapeDtypeStruct((nt, target_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n + n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n + n_pad, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
