@@ -267,3 +267,130 @@ def gradient_align(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
     for _ in range(steps):
         x, state, v = step(x, state)
     return params_vec.at[idx].set(x), v
+
+
+def legendre_alignment_sweep(build_fn, base_params: AlignParams,
+                             param_index: int, values, n: int = 21,
+                             assess_order: int = 5, wavelength_nm: float = 13.5,
+                             autofocus: bool = True):
+    """Sweep one alignment parameter; fit each Legendre mode's response.
+
+    Parity: ``Legendrealignment`` (AKB_raytrace_20250312.py:13853-13969) —
+    for each value of the swept parameter, (optionally) autofocus, trace,
+    decompose the wavefront, then linear-fit inner products and PVs
+    against the parameter.
+    Returns dict with 'values', 'inner_products' (runs, modes),
+    'pvs' (runs, modes+1), 'orders', 'ip_slopes', 'pv_slopes'.
+    """
+    import numpy as np
+
+    from akbx import wavefront
+    from akbx.analysis import legendre, rectify
+
+    ips_runs, pvs_runs = [], []
+    orders = None
+    for value in values:
+        vec = base_params.to_vector().at[param_index].set(float(value))
+        p = AlignParams.from_vector(vec)
+        if autofocus:
+            p = auto_focus(build_fn, p, n=n, iters=3)
+        sys_ = build_fn(p)
+        res = tr.run(sys_, n, n, defocus=p.defocus)
+        mat, _, _ = wavefront.wavefront_grid(res, n, n)
+        rect = rectify.extract_square_region(mat / wavelength_nm, n)
+        fits, ips, orders = legendre.match_multi(rect[1:-2, 1:-2],
+                                                 assess_order)
+        pv = np.append(np.asarray(legendre.mode_pvs(fits, ips)),
+                       float(wavefront.pv_6sigma(mat / wavelength_nm)))
+        ips_runs.append(np.asarray(ips))
+        pvs_runs.append(pv)
+    ips_runs = np.array(ips_runs)
+    pvs_runs = np.array(pvs_runs)
+    values = np.asarray(values, dtype=float)
+    ip_slopes = np.array([np.polyfit(values, ips_runs[:, i], 1)
+                          for i in range(ips_runs.shape[1])])
+    pv_slopes = np.array([np.polyfit(values, pvs_runs[:, i], 1)
+                          for i in range(pvs_runs.shape[1])])
+    return {"values": values, "inner_products": ips_runs, "pvs": pvs_runs,
+            "orders": orders, "ip_slopes": ip_slopes, "pv_slopes": pv_slopes}
+
+
+def fine_tune(build_fn, params: AlignParams, n: int = 21,
+              assess_order: int = 5, wavelength_nm: float = 13.5,
+              span_defocus: float = 2e-5, span_astig: float = 2e-5,
+              samples: int = 3):
+    """Zero the astigmatism and defocus Legendre signatures by linear fit.
+
+    Parity: ``Finetuning`` (AKB_raytrace_20250312.py:13972-14042): sweep
+    params[0]/params[1] over a small span, linear-fit
+    ``pv[(0,2)] - pv[(2,0)]`` (astigmatism signature) vs astigH and
+    ``pv[(0,2)] + pv[(2,0)]`` (defocus signature) vs defocus, then move to
+    the fitted zero crossings.  The reference runs this under
+    ``option_mpmath``; our compensated f64 engine needs no precision
+    escape hatch.
+    Returns updated AlignParams.
+    """
+    import numpy as np
+
+    from akbx import wavefront
+    from akbx.analysis import legendre, rectify
+
+    def signature(p):
+        sys_ = build_fn(p)
+        res = tr.run(sys_, n, n, defocus=p.defocus)
+        mat, _, _ = wavefront.wavefront_grid(res, n, n)
+        rect = rectify.extract_square_region(mat / wavelength_nm, n)
+        fits, ips, orders = legendre.match_multi(rect[1:-2, 1:-2],
+                                                 assess_order)
+        pv = np.asarray(legendre.mode_pvs(fits, ips))
+        i20 = orders.index((2, 0))
+        i02 = orders.index((0, 2))
+        return pv[i02] - pv[i20], pv[i02] + pv[i20]
+
+    # astig channel
+    astigs = np.asarray(params.astig_h) + np.linspace(-span_astig, span_astig,
+                                                      samples)
+    sig_a = [signature(params._replace(astig_h=jnp.asarray(a)))[0]
+             for a in astigs]
+    slope_a, icpt_a = np.polyfit(astigs, sig_a, 1)
+    new_astig = -icpt_a / slope_a if abs(slope_a) > 1e-30 else params.astig_h
+    params = params._replace(astig_h=jnp.asarray(new_astig))
+
+    # defocus channel
+    defs = np.asarray(params.defocus) + np.linspace(-span_defocus,
+                                                    span_defocus, samples)
+    sig_d = [signature(params._replace(defocus=jnp.asarray(d)))[1]
+             for d in defs]
+    slope_d, icpt_d = np.polyfit(defs, sig_d, 1)
+    new_def = -icpt_d / slope_d if abs(slope_d) > 1e-30 else params.defocus
+    return params._replace(defocus=jnp.asarray(new_def))
+
+
+def field_of_curvature(build_fn, params: AlignParams, shifts_y, shifts_z,
+                       n: int = 17):
+    """Field-of-curvature map: autofocus for a grid of source shifts.
+
+    Parity: ``calc_FoC`` (AKB_raytrace_20250312.py:13766-13851).
+    Returns dict of (len(shifts_z), len(shifts_y)) arrays: focus_x_h/v,
+    spot_h/v.
+    """
+    import numpy as np
+
+    fx_h = np.zeros((len(shifts_z), len(shifts_y)))
+    fx_v = np.zeros_like(fx_h)
+    sp_h = np.zeros_like(fx_h)
+    sp_v = np.zeros_like(fx_h)
+    for iz, sz in enumerate(shifts_z):
+        for iy, sy in enumerate(shifts_y):
+            build_shifted = lambda p: build_fn(p, source_shift=(0.0, sy, sz))
+            sys_ = build_shifted(params)
+            res = tr.run(sys_, n, n, defocus=params.defocus,
+                         exit_pupil_uniform=False)
+            x_h, x_v, std_h, std_v = best_focus(
+                res.trace, sys_.s2f_middle + params.defocus)
+            fx_h[iz, iy] = float(x_h)
+            fx_v[iz, iy] = float(x_v)
+            sp_h[iz, iy] = float(std_h)
+            sp_v[iz, iy] = float(std_v)
+    return {"focus_x_h": fx_h, "focus_x_v": fx_v,
+            "spot_h": sp_h, "spot_v": sp_v}

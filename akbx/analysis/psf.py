@@ -169,3 +169,68 @@ def fwhm(x, intensity_1d):
 def strehl(psf_aberrated_peak_unnormalized, psf_ideal_peak_unnormalized):
     """Strehl ratio from unnormalized peak intensities."""
     return psf_aberrated_peak_unnormalized / psf_ideal_peak_unnormalized
+
+
+def wavefront_error_v2(defocus_positions, path_lengths, angles,
+                       focal_positions, wavelength):
+    """OPD error + focal-plane position error + angle-error correction.
+
+    Parity: ``calculate_wavefront_error_v2``
+    (AKB_raytrace_20250312.py:116-153).
+    Returns (wavefront_error (N,), rms).
+    """
+    opd_error = path_lengths - jnp.mean(path_lengths)
+    focal_err = jnp.linalg.norm(
+        focal_positions - jnp.mean(focal_positions, axis=1, keepdims=True),
+        axis=0)
+    norms = jnp.linalg.norm(defocus_positions, axis=0, keepdims=True)
+    ideal_normals = -defocus_positions / norms
+    dots = jnp.einsum("ij,ij->j", angles, ideal_normals)
+    angle_corr = wavelength * (1.0 - dots) / (2 * jnp.pi)
+    err = opd_error + focal_err + angle_corr
+    return err, jnp.sqrt(jnp.mean(err**2))
+
+
+def psf_from_wavefront(wave_map_nm, grid_y, grid_z, focal_length_m,
+                       wavelength_m, pad_factor: int = 16,
+                       derotate: bool = True):
+    """PSF pipeline from a gridded wavefront map [nm].
+
+    Parity: ``psf_calc`` (AKB_raytrace_20250312.py:1121-1278): estimate the
+    pupil-grid rotation from the NaN envelope, mask-normalized derotation,
+    amplitude = finite mask, padded Fraunhofer FFT — without the plotting
+    and file side effects (callers save what they need).
+    Returns dict with psf, x_im, y_im, rotation_rad, wave_map_used.
+    """
+    from akbx.analysis import rectify
+
+    wave_map_nm = jnp.asarray(wave_map_nm)
+    rot = 0.0
+    if derotate:
+        try:
+            rot = rectify.estimate_grid_rotation(wave_map_nm)
+        except (ValueError, IndexError):
+            rot = 0.0
+        if np.isfinite(rot) and abs(rot) > 0:
+            wave_map_nm = rectify.rotate_with_nan(wave_map_nm, rot, order=1)
+
+    amp = jnp.where(jnp.isfinite(wave_map_nm), 1.0, 0.0)
+    opd = jnp.where(jnp.isfinite(wave_map_nm), wave_map_nm * 1e-9, 0.0)
+    dy = float(jnp.abs(grid_y[1] - grid_y[0]))
+    dz = float(jnp.abs(grid_z[1] - grid_z[0]))
+    psf_img, x_im, y_im = compute_psf_fft(opd, amp, wavelength_m, dy,
+                                          focal_length_m,
+                                          pad_factor=pad_factor,
+                                          pupil_dy_m=dz)
+    return {"psf": psf_img, "x_im": x_im, "y_im": y_im,
+            "rotation_rad": float(rot), "wave_map_used": wave_map_nm}
+
+
+def trim_window(psf_img, x_im, y_im, half_width_m: float):
+    """Trim the PSF to +-half_width (the reference's energy-dependent
+    display windows, AKB_raytrace_20250312.py:1202-1223)."""
+    x = np.asarray(x_im)
+    y = np.asarray(y_im)
+    ix = np.where((x >= -half_width_m) & (x <= half_width_m))[0]
+    iy = np.where((y >= -half_width_m) & (y <= half_width_m))[0]
+    return np.asarray(psf_img)[np.ix_(iy, ix)], x[ix], y[iy]

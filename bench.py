@@ -17,9 +17,18 @@ import sys
 BASELINE_RAYS_PER_S = 1e8
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 import jax
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the remote TPU compile of the fwd+bwd
+# engine graph takes minutes and is latency-volatile; cache it across runs
+try:
+    cache_dir = os.path.expanduser("~/.cache/jax_akbx")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 sys.path.insert(0, %(repo)r)
@@ -87,7 +96,7 @@ def run_worker(env_extra, n=256, timeout=900):
 
 def main():
     # try the TPU first (default env), fall back to pure CPU
-    tpu_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "1500"))
+    tpu_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "2400"))
     result, err = run_worker({}, n=256, timeout=tpu_timeout)
     if result is None:
         print(f"[bench] TPU attempt failed ({err[:200] if err else ''}); "
