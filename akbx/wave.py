@@ -36,6 +36,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from akbx.core import precision as pr
 from akbx.core import trig as tg
@@ -156,15 +157,31 @@ def _huygens_chunk(targets, src_points, src_re, src_im, k):
 
 def propagate(source: WaveField, target_points: jnp.ndarray,
               wavelength: float, chunk: int = 2048,
-              use_pallas: bool | None = None):
+              use_pallas: bool | None = None, backend: str = "auto"):
     """Huygens propagation: returns (re, im) at ``target_points``.
 
     Equivalent of ``forward_propagation`` in all three reference backends.
     Geometry is re-centered at the joint centroid before the distance
     computation (phase accuracy; see module docstring).
+
+    ``backend``: 'auto' (Pallas on TPU, XLA otherwise), 'pallas',
+    'xla', or 'native' (the C++/OpenMP host engine — the numba path's
+    replacement, exact f64).  ``use_pallas`` is the legacy boolean form.
     """
+    if backend == "native":
+        from akbx import native
+
+        k_ = 2.0 * math.pi / wavelength
+        w_re = np.asarray(source.re * source.ds, dtype=np.float64)
+        w_im = np.asarray(source.im * source.ds, dtype=np.float64)
+        out_re, out_im = native.huygens_propagate(
+            np.asarray(target_points), np.asarray(source.points),
+            w_re, w_im, k_)
+        return jnp.asarray(out_re), jnp.asarray(out_im)
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        use_pallas = (backend == "pallas" or
+                      (backend == "auto"
+                       and jax.default_backend() in ("tpu", "axon")))
     if use_pallas:
         try:
             from akbx.kernels import huygens as hk
