@@ -53,13 +53,17 @@ def hann2d(shape) -> jnp.ndarray:
 
 def compute_psf_fft(opd_m, amp, wavelength_m, pupil_dx_m, focal_length_m,
                     pad_factor: int = 2, window: str | None = None,
-                    return_efield: bool = False, pupil_dy_m=None):
+                    return_efield: bool = False, pupil_dy_m=None,
+                    fft2_shifted_fn=None):
     """Fraunhofer PSF from pupil OPD + amplitude via FFT.
 
     Parity: ``compute_psf_fft`` (psf_fft.py:29-125) — NaN masking, optional
     Hann window, even-size pad, centered zero-pad by ``pad_factor``,
     ``fftshift(fft2(ifftshift(U))) * dA``, image coordinates
     ``lambda * f * fftfreq``, peak normalization.
+    ``fft2_shifted_fn`` overrides the ``fftshift(fft2(ifftshift(.)))``
+    transform — used by ``parallel.fft.psf_fft_sharded`` to distribute the
+    FFT over a device mesh for pupils too large for one chip.
     Returns (psf, x_im, y_im[, efield]).
     """
     opd = jnp.asarray(opd_m, dtype=jnp.float64)
@@ -89,7 +93,10 @@ def compute_psf_fft(opd_m, amp, wavelength_m, pupil_dx_m, focal_length_m,
     dx = pupil_dx_m
     dy = dx if pupil_dy_m is None else pupil_dy_m
     dA = dx * dy
-    U_im = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(U))) * dA
+    if fft2_shifted_fn is None:
+        U_im = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(U))) * dA
+    else:
+        U_im = fft2_shifted_fn(U) * dA
 
     fx = jnp.fft.fftshift(jnp.fft.fftfreq(px, d=dx))
     fy = jnp.fft.fftshift(jnp.fft.fftfreq(py, d=dy))
