@@ -246,8 +246,44 @@ def design_ell_v(l_i1, l_o1, theta_g1, na_o_sin) -> EllipseNA:
     return EllipseNA(l_i1, l_o1, theta_g1, na_o)
 
 
+def _ell_quick_np(l_i1, l_o1, theta_g1, na_o):
+    """(l_o2, x_1, f) of the NA-based ellipse in pure numpy with stable
+    roots — the fast path for host-side DE objectives (a jnp ``EllipseNA``
+    costs ~ms of dispatch per eval; DE makes 1e4-1e5 evals)."""
+    a = (l_i1 + l_o1) / 2.0
+    b2 = l_i1 * l_o1 * np.sin(theta_g1) ** 2
+    f2 = a * a - b2
+    if f2 <= 0:
+        raise FloatingPointError("degenerate ellipse")
+    f = np.sqrt(f2)
+
+    def stable_roots(A, B, C):
+        D = B * B - 4 * A * C
+        if D <= 0 or A == 0:
+            raise FloatingPointError("no real root")
+        q = -0.5 * (B + np.copysign(np.sqrt(D), B))
+        r1, r2 = q / A, C / q
+        return (r2, r1) if B >= 0 else (r1, r2)  # (plus, minus)
+
+    A = l_i1**2 * (1.0 / a**2 - 1.0 / b2)
+    B = -2.0 * l_i1 * f / a**2
+    C = f**2 / a**2 + l_i1**2 / b2 - 1.0
+    _, t = stable_roots(A, B, C)
+    if not -1.0 <= t <= 1.0:
+        raise FloatingPointError("cos(theta_i1) out of range")
+    theta_i1 = np.arccos(t)
+    x_1 = l_i1 * t
+    theta_o1 = 2 * theta_g1 - theta_i1
+    theta_o2 = theta_o1 + na_o
+    A2 = np.cos(theta_o2) ** 2 / a**2 + np.sin(theta_o2) ** 2 / b2
+    B2 = -2.0 * f * np.cos(theta_o2) / a**2
+    C2 = f**2 / a**2 - 1.0
+    l_o2, _ = stable_roots(A2, B2, C2)
+    return l_o2, x_1, f
+
+
 def design_ell_h(ell1: EllipseNA, target_l_o2, target_gap, ast, na_o_sin_h,
-                 seed: int | None = 0):
+                 seed: int | None = 0, de_maxiter: int = 10000):
     """H-mirror matched to the V mirror by differential evolution.
 
     Objective: match working distance (l_o2), gap-consistent x_1, and focus
@@ -262,13 +298,13 @@ def design_ell_h(ell1: EllipseNA, target_l_o2, target_gap, ast, na_o_sin_h,
     na_o = np.float64(np.arcsin(na_o_sin_h) * 2)
 
     def objective(params):
-        li, lo, tg = params
+        li, lo, tgz = params
         try:
-            e = EllipseNA(li, lo, tg, na_o, allcalc=False)
-            err_l_o2 = float(e.l_o2) - float(target_l_o2)
-            err_x_1 = float(e.x_1) - target_x_1
-            err_f = float(e.f) - target_f
-        except FloatingPointError:
+            l_o2, x_1, f = _ell_quick_np(li, lo, tgz, na_o)
+            err_l_o2 = l_o2 - float(target_l_o2)
+            err_x_1 = x_1 - target_x_1
+            err_f = f - target_f
+        except (FloatingPointError, ValueError):
             return np.inf
         val = np.sqrt((err_l_o2 / float(target_l_o2)) ** 2
                       + (err_f / target_f) ** 2
@@ -277,7 +313,7 @@ def design_ell_h(ell1: EllipseNA, target_l_o2, target_gap, ast, na_o_sin_h,
 
     bounds = [(l_i1 - 1, l_i1 + 1), (0.001, 2), (1e-9, np.pi / 4)]
     result = differential_evolution(
-        objective, bounds, strategy="best1bin", maxiter=10000, popsize=15,
+        objective, bounds, strategy="best1bin", maxiter=de_maxiter, popsize=15,
         tol=1e-6, mutation=(0.5, 1), recombination=0.7, seed=seed, polish=True,
         init="sobol", x0=[l_i1, float(ell1.l_o2), theta_g1])
     _, opt_l_o1, opt_theta_g1 = result.x
