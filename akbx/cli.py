@@ -246,6 +246,107 @@ def cmd_fab_profiles(args):
     return 0
 
 
+def cmd_design_na(args):
+    from akbx import design_na
+
+    d = design_na.solve_na_constrained(args.x1, args.x3, args.na_i, args.na_o)
+    out = {k: float(getattr(d, k)) for k in
+           ("theta_i1", "theta_i2", "theta_o1", "theta_o2", "x_1", "x_2",
+            "x_3", "l_i1", "l_i2", "l_o1", "l_o2", "a", "b2", "f",
+            "na_i_result", "check_a_error", "check_na_i_error",
+            "check_x_3_error")}
+    out["iterations"] = int(d.iterations)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_align(args):
+    """Sensitivity-matrix alignment solve (reference __main__ :14236-14266):
+    measure the compare_sep aberration vector, jacfwd the sensitivity
+    matrix over the chosen misalignment parameters, apply the least-squares
+    correction."""
+    import jax.numpy as jnp
+
+    from akbx import align, io, trace
+
+    build, params = _build_fn(args)
+    n = min(args.rays, 21)
+    idx = [int(i) for i in args.indices.split(",")]
+
+    def metric_fn(vec):
+        from akbx.systems import AlignParams
+
+        sys_ = build(AlignParams.from_vector(vec))
+        res = trace.run(sys_, n, n, defocus=vec[0],
+                        exit_pupil_uniform=False, tilt_correction=True)
+        m = align.compare_sep(res.trace, sys_.s2f_middle + vec[0], n, n)
+        return align.aberration_vector(m, mode=args.mode)
+
+    p0 = jnp.asarray(params.to_vector())
+    before = metric_fn(p0)
+    p1 = align.solve_alignment(metric_fn, p0, idx, iters=args.iters,
+                               damping=args.damping)
+    after = metric_fn(p1)
+    os.makedirs(args.out, exist_ok=True)
+    io.write_optical_params(args.out, np.asarray(p1))
+    print(json.dumps({
+        "indices": idx,
+        "abrr_before": np.asarray(before).tolist(),
+        "abrr_after": np.asarray(after).tolist(),
+        "params": np.asarray(p1).tolist(),
+    }))
+    return 0
+
+
+def cmd_plot(args):
+    """Diagnostic figures for a trace run (the reference's savefig battery)."""
+    from akbx import align, plotting, trace, wavefront
+
+    build, params = _build_fn(args)
+    if args.autofocus:
+        params = align.auto_focus(build, params, n=min(args.rays, 21), iters=5)
+    sys_ = build(params)
+    n = args.rays
+    res = trace.run(sys_, n, n, defocus=params.defocus,
+                    defocus_wave=args.defocus_wave)
+    os.makedirs(args.out, exist_ok=True)
+    made = []
+
+    def out(name):
+        made.append(os.path.join(args.out, name))
+        return made[-1]
+
+    plotting.spot_diagram(res.detcenter, res.valid, path=out("spot.png"))
+    plotting.ray_sideview(res.trace.exit_rays, res.trace.exit_points,
+                          float(sys_.s2f_middle + params.defocus), 1e-3,
+                          n, n, path=out("virtualSource.png"))
+    mat, gy, gz = wavefront.wavefront_grid(res, n, n)
+    plotting.wavefront_map(mat, gy, gz, path=out("wavefront.png"))
+    from akbx.analysis import psf as _psf
+
+    o = _psf.psf_from_wavefront(mat, gy, gz, args.defocus_wave,
+                                args.wavelength)
+    plotting.psf_image(o["psf"], o["x_im"], o["y_im"], path=out("PSF.png"))
+    plotting.psf_image(o["psf"], o["x_im"], o["y_im"], log=True,
+                       path=out("PSF_log.png"))
+    plotting.psf_cuts(o["psf"], o["x_im"], o["y_im"], path=out("psf_cuts.png"))
+    offsets = np.linspace(-2e-4, 2e-4, 5)
+    x_focus = float(sys_.s2f_middle + params.defocus)
+    spots = np.stack([np.asarray(trace.detector_points(res.trace, x_focus + dx))
+                      for dx in offsets])
+    plotting.around_focus_montage(spots, offsets, res.valid,
+                                  path=out("around_focus.png"))
+    print(json.dumps({"figures": made}))
+    return 0
+
+
+def cmd_gui(args):
+    from akbx import gui
+
+    gui.main()
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="akbx")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -297,6 +398,31 @@ def main(argv=None):
     p.add_argument("--num", type=int, default=100000)
     p.add_argument("--out", default="fab_out")
     p.set_defaults(fn=cmd_fab_profiles)
+
+    p = sub.add_parser("design-na", help="NA-constrained ellipse design")
+    p.add_argument("--x1", type=float, default=146.0)
+    p.add_argument("--x3", type=float, default=0.55)
+    p.add_argument("--na-i", dest="na_i", type=float, default=1e-4)
+    p.add_argument("--na-o", dest="na_o", type=float, default=0.02)
+    p.set_defaults(fn=cmd_design_na)
+
+    p = sub.add_parser("align", help="sensitivity-matrix alignment solve")
+    _add_system_args(p)
+    p.add_argument("--indices", type=str, default="2,3",
+                   help="comma-separated misalignment param indices to solve")
+    p.add_argument("--mode", choices=["abrr", "KB"], default="abrr")
+    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--damping", type=float, default=1.0)
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("plot", help="diagnostic figure battery for a trace")
+    _add_system_args(p)
+    p.add_argument("--wavelength", type=float, default=13.5e-9)
+    p.add_argument("--defocus-wave", type=float, default=1e-2)
+    p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("gui", help="tkinter KB design tool")
+    p.set_defaults(fn=cmd_gui)
 
     args = parser.parse_args(argv)
     return args.fn(args)

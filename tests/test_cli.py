@@ -1,0 +1,51 @@
+"""CLI subcommand workflows (in-process, small ray fans)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from akbx import cli
+
+
+def run_cli(capsys, *argv):
+    rc = cli.main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    return json.loads(out)
+
+
+class TestDesignCommands:
+    def test_design_na(self, capsys):
+        out = run_cli(capsys, "design-na")
+        assert abs(out["check_x_3_error"]) < 1e-4
+        assert out["iterations"] < 50
+
+    def test_design_kb(self, capsys, tmp_path):
+        out = run_cli(capsys, "design-kb", "--out", str(tmp_path))
+        assert os.path.exists(out["kb_design"])
+        assert out["na_v"] > 0 and out["na_h"] > 0
+
+
+class TestTraceWorkflows:
+    def test_trace_and_plot(self, capsys, tmp_path):
+        out = run_cli(capsys, "trace", "--system", "akb", "--rays", "17",
+                      "--no-autofocus", "--out", str(tmp_path))
+        assert out["valid_rays"] == 17 * 17
+        assert os.path.exists(os.path.join(out["out_dir"],
+                                           "inner_products.csv"))
+
+        out2 = run_cli(capsys, "plot", "--system", "akb", "--rays", "9",
+                       "--no-autofocus", "--out", str(tmp_path / "figs"))
+        for f in out2["figures"]:
+            assert os.path.getsize(f) > 0
+
+    def test_align(self, capsys, tmp_path):
+        out = run_cli(capsys, "align", "--system", "akb", "--rays", "13",
+                      "--no-autofocus", "--out", str(tmp_path),
+                      "--indices", "2,3")
+        # the solve must reduce the dominant (astigmatism) component
+        assert abs(out["abrr_after"][0]) < abs(out["abrr_before"][0])
+        assert os.path.exists(os.path.join(str(tmp_path),
+                                           "optical_params.txt"))
