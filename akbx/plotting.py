@@ -124,6 +124,56 @@ def around_focus_montage(spots, offsets, valid=None, path=None,
     return _save(fig, path)
 
 
+def interactive_around_focus(spots_at, half_range, n_planes: int = 5,
+                             valid=None, unit_scale=1e6, unit="um"):
+    """Around-focus montage that re-traces when a pane is clicked.
+
+    Parity: the III_I engine's interactive matplotlib montage — clicking a
+    plane re-centers the sweep around it and re-traces
+    (AKB_raytrace_III_I_20250710.py:2430-2533).
+
+    ``spots_at(x_offset) -> (3, N)`` detector points at axial offset
+    ``x_offset`` from nominal focus (host callback; typically a jitted
+    trace + plane intersection).  Each click on pane *i* re-centers the
+    montage at that pane's offset and halves the span — drill-down focus
+    search by eye.  Returns (fig, state) where ``state['offsets']`` is
+    mutated on every click (tests drive ``state['on_click']`` directly).
+    """
+    plt = _plt()
+
+    state = {"center": 0.0, "half": float(half_range)}
+    fig, axs = plt.subplots(1, n_planes, sharey=True,
+                            figsize=(2 * n_planes, 2.4))
+    axs = list(np.atleast_1d(axs))
+
+    def draw():
+        offsets = state["center"] + np.linspace(-state["half"], state["half"],
+                                                n_planes)
+        state["offsets"] = offsets
+        for ax, off in zip(axs, offsets):
+            ax.clear()
+            d = np.asarray(spots_at(float(off)))
+            m = np.ones(d.shape[1], bool) if valid is None else np.asarray(valid)
+            ax.scatter((d[1, m] - d[1, m].mean()) * unit_scale,
+                       (d[2, m] - d[2, m].mean()) * unit_scale, s=0.5)
+            ax.set_title(f"{off:+.3e} m", fontsize=7)
+            ax.set_aspect("equal")
+        axs[0].set_ylabel(f"V ({unit})")
+        fig.canvas.draw_idle()
+
+    def on_click(event):
+        if event.inaxes in axs:
+            i = axs.index(event.inaxes)
+            state["center"] = float(state["offsets"][i])
+            state["half"] = state["half"] / 2.0
+            draw()
+
+    draw()
+    state["on_click"] = on_click
+    fig.canvas.mpl_connect("button_press_event", on_click)
+    return fig, state
+
+
 def wavefront_map(mat_nm, grid_y=None, grid_z=None, path=None,
                   title="Wavefront error (nm)"):
     """Pseudocolor wavefront map (matrixWave2 plots, :3689-3698 style)."""

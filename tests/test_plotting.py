@@ -62,6 +62,33 @@ class TestPlots:
         for f in ("w.png", "psf.png", "psf_log.png", "cuts.png"):
             assert os.path.getsize(tmp_path / f) > 0
 
+    def test_interactive_around_focus(self, engine_result):
+        from akbx import trace as tr
+
+        sys_, res = engine_result
+        x0 = float(sys_.s2f_middle)
+        calls = []
+
+        def spots_at(off):
+            calls.append(off)
+            return tr.detector_points(res.trace, x0 + off)
+
+        fig, state = plotting.interactive_around_focus(spots_at, 1e-3,
+                                                       n_planes=3,
+                                                       valid=res.valid)
+        first_offsets = state["offsets"].copy()
+        assert len(first_offsets) == 3
+
+        class FakeEvent:
+            inaxes = fig.axes[0]
+
+        state["on_click"](FakeEvent())  # click the leftmost plane
+        # recentered on the clicked offset with halved span
+        assert state["offsets"][1] == pytest.approx(first_offsets[0])
+        assert (state["offsets"][-1] - state["offsets"][0]) == pytest.approx(
+            (first_offsets[-1] - first_offsets[0]) / 2)
+        assert len(calls) == 6  # re-traced all panes
+
     def test_legendre_modes(self, tmp_path):
         orders = [(0, 0), (1, 0), (0, 1), (1, 1)]
         p = str(tmp_path / "leg.png")
