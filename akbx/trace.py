@@ -90,14 +90,19 @@ def trace(system: OpticalSystem, rays: jnp.ndarray,
 
 
 def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
-                              n_h: int, n_v: int):
+                              n_h: int, n_v: int, stage: int = -1):
     """Re-derive source angles so *exit* angles are equally spaced.
 
     The reference samples the exit angles of the center row/column, builds
     scipy ``interp1d`` maps exit->input angle, and re-fans
     (:2849-2879).  Same algorithm with ``jnp.interp`` (monotonicity-safe).
+
+    ``stage`` selects which bounce's direction field to uniformize on:
+    -1 (default) = final exit angles; 1 = after the first mirror — the
+    reference's KB ``option_avrgsplt`` equal-split mode, whose ``reset_p0``
+    re-fans on the mirror-1-to-mirror-2 angles (:11010-11037, 11642-11650).
     """
-    angle = result.exit_rays
+    angle = result.directions[stage]
     angle_h = jnp.arctan(angle[1] / angle[0])
     angle_v = jnp.arctan(angle[2] / angle[0])
 
@@ -161,7 +166,8 @@ class EngineResult(NamedTuple):
 
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
         defocus_wave=1e-3, exit_pupil_uniform: bool = True,
-        tilt_correction: bool = True, ray_sharding=None) -> EngineResult:
+        tilt_correction: bool = True, ray_sharding=None,
+        uniform_stage: int = -1) -> EngineResult:
     """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
     -> tilt removal -> detector planes -> OPL -> wavefront.
 
@@ -185,7 +191,8 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
 
     if exit_pupil_uniform:
         new_h, new_v = exit_pupil_uniform_angles(result, rand_p0h, rand_p0v,
-                                                 n_h, n_v)
+                                                 n_h, n_v,
+                                                 stage=uniform_stage)
         rays = ray_fan(new_h, new_v)
         result = trace(system, rays, src)
         rand_p0h, rand_p0v = new_h, new_v

@@ -162,6 +162,24 @@ class TestAKB:
         steps = np.diff(col)
         assert np.std(steps) / np.abs(np.mean(steps)) < 2e-2
 
+    def test_uniform_stage_equal_split(self):
+        """uniform_stage=1 (reference option_avrgsplt / reset_p0,
+        :11010-11037): the mirror-1 exit angles become equally spaced
+        instead of the final exit angles."""
+        sys_ = self.make_system()
+        res = trace.run(sys_, 21, 21, defocus=0.0, exit_pupil_uniform=True,
+                        tilt_correction=False, uniform_stage=1)
+        ang1 = res.trace.directions[1]
+        av = np.arctan(np.asarray(ang1[2] / ang1[0])).reshape(21, 21)
+        steps = np.diff(av[:, 10])
+        assert np.std(steps) / np.abs(np.mean(steps)) < 2e-2
+        # and the *final* exit angles are now NOT the uniformized set
+        res_exit = trace.run(sys_, 21, 21, defocus=0.0,
+                             exit_pupil_uniform=True, tilt_correction=False)
+        a_exit = res_exit.trace.exit_rays
+        a_this = res.trace.exit_rays
+        assert not np.allclose(np.asarray(a_exit), np.asarray(a_this))
+
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 class TestReferenceParity:
