@@ -129,6 +129,19 @@ def stage_timer(name: str, log=print):
         log(f"[{name}] {time.time() - t0:.3f} s")
 
 
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a full ``jax.profiler`` device trace into ``log_dir``
+    (view with TensorBoard / xprof).  The TPU-native replacement for the
+    reference's wall-clock prints and GPU memory telemetry
+    (_GPU0402.py:166-170)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
 def progress_chunks(total: int, fraction: float = 0.01):
     """Chunk boundaries for coarse progress reporting (the reference's
     1%-increment loop, CPU0402.py:114-123)."""

@@ -241,9 +241,13 @@ def propagate_stages(source: WaveField, stages: Sequence[dict],
         if cached is not None:
             field = cached
         else:
-            field = propagate_field(current, pts, wavelength, target_ds=ds,
-                                    n_h=stage.get("n_h", 0),
-                                    n_v=stage.get("n_v", 0), **kw)
+            from akbx.utils import stage_timer
+
+            with stage_timer(f"huygens:{name}", log=lambda *_: None):
+                field = propagate_field(current, pts, wavelength,
+                                        target_ds=ds,
+                                        n_h=stage.get("n_h", 0),
+                                        n_v=stage.get("n_v", 0), **kw)
             if cache is not None:
                 cache.save(name, field)
         fields.append(field)
