@@ -258,13 +258,18 @@ def surface_normal(coeffs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return normalize(N)
 
 
-def reflect(rays: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
-    """Specular reflection ``r = d - 2 (d.n) n``, renormalized.
+def reflect(rays: jnp.ndarray, normals: jnp.ndarray,
+            renormalize: bool = True) -> jnp.ndarray:
+    """Specular reflection ``r = d - 2 (d.n) n``.
 
     Parity: ``reflect_ray`` (EllipseRaytrace3D.py:47-55).
+    ``renormalize=False`` skips the closing normalization — exact for unit
+    ``rays``/``normals`` up to one rounding (|r| = 1 + O(eps) per bounce),
+    and saves an emulated-f64 rsqrt per bounce on TPU in the hot trace.
     """
     dot = jnp.sum(rays * normals, axis=0)
-    return normalize(rays - 2 * dot * normals)
+    r = rays - 2 * dot * normals
+    return normalize(r) if renormalize else r
 
 
 def plane_intersect(coeffs: jnp.ndarray, rays: jnp.ndarray,

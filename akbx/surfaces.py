@@ -127,7 +127,7 @@ def intersect_and_reflect(mirror: Mirror, rays: jnp.ndarray, origins: jnp.ndarra
     The segment length is measured to the displaced point, so OPL picks up
     the h (cos i + cos r) signature automatically.
     """
-    pts, _, valid = geo.intersect(mirror.coeffs, rays, origins,
+    pts, t, valid = geo.intersect(mirror.coeffs, rays, origins,
                                   branch=mirror.branch)
     n = geo.surface_normal(mirror.coeffs, pts)
 
@@ -151,12 +151,17 @@ def intersect_and_reflect(mirror: Mirror, rays: jnp.ndarray, origins: jnp.ndarra
 
     if mirror.fig_coeffs.shape != (1, 1):
         pts, n = with_figure(pts, n)
+        seg = jnp.linalg.norm(pts - origins, axis=0)
     else:
         # (1,1) coeff still contributes a constant piston height if nonzero
-        pts = pts + mirror.fig_coeffs[0, 0] * n
+        piston = mirror.fig_coeffs[0, 0]
+        pts = pts + piston * n
+        # rays are unit, so the undisplaced segment length is just |t|;
+        # the piston displacement adds h cos(i) along the ray == piston
+        # times (n . d); measure to the displaced point exactly:
+        seg = jnp.abs(t + piston * jnp.sum(n * rays, axis=0))
 
-    refl = geo.reflect(rays, n)
-    seg = jnp.linalg.norm(pts - origins, axis=0)
+    refl = geo.reflect(rays, n, renormalize=False)
     return pts, refl, n, seg, valid
 
 
