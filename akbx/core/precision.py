@@ -113,6 +113,27 @@ def df_sq(x: DF) -> DF:
     return df_mul(x, x)
 
 
+def df_div(x: DF, y: DF) -> DF:
+    """Double-word division: quotient + one Newton-style correction."""
+    safe = jnp.where(y.hi != 0, y.hi, 1.0)
+    q1 = x.hi / safe
+    # r = x - q1 * y, computed in double-word
+    r = df_sub(x, df_mul_f(y, q1))
+    q2 = (r.hi + r.lo) / safe
+    return fast_two_sum(q1, q2)
+
+
+def df_rsqrt(x: DF) -> DF:
+    """Double-word reciprocal square root: 1/sqrt(x)."""
+    s = jnp.sqrt(jnp.where(x.hi > 0, x.hi, 1.0))
+    r0 = 1.0 / s
+    # one double-word Newton step: r = r0 * (3 - x r0^2) / 2
+    r0df = DF(r0, jnp.zeros_like(r0))
+    xr2 = df_mul(x, df_sq(r0df))
+    corr = df_mul_f(df_add_f(df_neg(xr2), 3.0), 0.5)
+    return df_mul(r0df, corr)
+
+
 def df_sqrt(x: DF) -> DF:
     """Double-word sqrt via one Newton refinement of the base sqrt."""
     s = jnp.sqrt(x.hi)

@@ -89,6 +89,166 @@ def trace(system: OpticalSystem, rays: jnp.ndarray,
                        tuple(segs), valid)
 
 
+def trace_df(system: OpticalSystem, rays: jnp.ndarray,
+             origins: jnp.ndarray, chief_idx: int | None = None
+             ) -> TraceResult:
+    """The sequential trace as an exact *deviation* from an f64 chief ray,
+    computed in double-f32 — the TPU fast path.
+
+    Why not plain df32 on re-centered coordinates: the 146 m first leg
+    limits a double-f32 ``t`` to ~3e-13 m, and grazing incidence amplifies
+    that seed by 1/sin(theta_g) per bounce (~1e-9 m OPL error after four
+    mirrors).  Instead, ONE chief ray is traced in f64 (a (3,1) batch —
+    negligible) and every other ray is represented by its deviation
+    (dp, dd) from the chief.  Quadrics are degree-2 polynomials, so the
+    deviation update is EXACT algebra, not a linearization:
+
+      C  = C_nom + gC.dp + dp^T M dp          gC = gradQ(p_nom)
+      B  = B_nom + gC.dd + gA.dp + 2 dp^T M dd    gA = 2 M D
+      A  = A_nom + gA.dd + dd^T M dd
+      dt : A dt^2 + (2 A T + B) dt + (A T^2 + B T + C) = 0   (small root)
+
+    with every *_nom / T / D / M a per-mirror f64 constant from the chief
+    trace (their f64 rounding is common-mode across rays and cancels in
+    wavefront differences), and every per-ray quantity small — so df32\'s
+    ~49-bit mantissa yields ~1e-15 m leg-length deviations, *better* than
+    the plain f64 path.  Branch selection is inherited from the chief:
+    the small root stays on the chief\'s conic branch, matching the
+    reference\'s ``negative=`` flag semantics
+    (AKB_raytrace_20250312.py:2820).
+
+    ``chief_idx``: fan index of the chief ray (default: batch center).
+    Outputs are f64; same contract as :func:`trace`.
+    """
+    from akbx.core import geometry_df as gdf
+    from akbx.core.precision import (DF, df_add, df_div, df_mul, df_mul_f,
+                                     df_neg, df_sqrt, df_sub)
+
+    f64 = jnp.float64
+    F32 = jnp.float32
+    N = rays.shape[1]
+    shape = (N,)
+    if chief_idx is None:
+        chief_idx = N // 2
+
+    # --- f64 chief trace (one ray) -> all per-mirror constants ---------
+    chief_d0 = rays[:, chief_idx:chief_idx + 1]
+    chief_p0 = origins[:, chief_idx:chief_idx + 1]
+    chief = trace(system, chief_d0, chief_p0)
+    P = [pts[:, 0] for pts in chief.points]        # chief hit points (3,)
+    D = [d[:, 0] for d in chief.directions]        # D[0] in, D[i+1] out
+    T = [seg[0] for seg in chief.segments]         # chief leg lengths
+
+    # per-ray deviations: exact f64 subtraction, then split to f32 pairs
+    dd = gdf.Vec3DF.from_f64(rays - chief_d0)
+    dp = gdf.Vec3DF.from_f64(origins - chief_p0)
+
+    points, dirs, normals, segs = [], [rays], [], []
+    valid = jnp.ones(N, dtype=bool)
+    prev_pt = chief_p0[:, 0]
+
+    for i, mirror in enumerate(system.mirrors):
+        # local frame centered on the chief hit point of THIS mirror
+        cl = geo.shift(mirror.coeffs, -P[i])
+        M = jnp.stack([jnp.stack([cl[0], cl[3] / 2, cl[4] / 2]),
+                       jnp.stack([cl[3] / 2, cl[1], cl[5] / 2]),
+                       jnp.stack([cl[4] / 2, cl[5] / 2, cl[2]])])
+        bvec = cl[6:9]
+        Di = D[i]
+        p_nom = prev_pt - P[i]
+
+        # f64 scalar constants of this bounce
+        A_nom = Di @ M @ Di
+        B_nom = 2.0 * (p_nom @ M @ Di) + bvec @ Di
+        C_nom = p_nom @ M @ p_nom + bvec @ p_nom + cl[9]
+        gC = 2.0 * (M @ p_nom) + bvec
+        gA = 2.0 * (M @ Di)
+        Ti = T[i]
+        rho = (A_nom * Ti + B_nom) * Ti + C_nom     # chief residual (~0)
+        Bp_nom = 2.0 * A_nom * Ti + B_nom
+
+        # split the constants once per mirror
+        M9 = gdf.mat3_const(M)
+        gC_c = gdf.vec3_const(gC, shape)
+        gA_c = gdf.vec3_const(gA, shape)
+        D_c = gdf.vec3_const(Di, shape)
+        Dn_c = gdf.vec3_const(D[i + 1], shape)
+        nn_c = gdf.vec3_const(bvec, shape)          # gradQ(0) = bvec
+        T_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Ti)), shape)
+        T2_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Ti * Ti)), shape)
+        A_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(A_nom)), shape)
+        Bp_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Bp_nom)), shape)
+        rho_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(rho)), shape)
+
+        # per-ray deviation forms (all operands small or O(1))
+        Mdp = gdf.matvec(M9, dp)
+        Mdd = gdf.matvec(M9, dd)
+        dC = df_add(gC_c.dot(dp), Mdp.dot(dp))
+        dA = df_add(gA_c.dot(dd), Mdd.dot(dd))
+        dB = df_add(df_add(gC_c.dot(dd), gA_c.dot(dp)),
+                    df_mul_f(Mdp.dot(dd), F32(2.0)))
+
+        # R = A T^2 + B T + C - (chief part) = dA T^2 + dB T + dC + rho
+        R = df_add(df_add(df_mul(dA, T2_c), df_mul(dB, T_c)),
+                   df_add(dC, rho_c))
+        A_full = df_add(dA, A_c)
+        Bp = df_add(df_add(df_mul_f(df_mul(dA, T_c), F32(2.0)), dB), Bp_c)
+
+        # roots of A dt^2 + B' dt + R = 0, stable q-form.  The shift
+        # t = T + dt leaves the discriminant invariant, so the global
+        # branch flag selects the same physical sheet here:
+        # dt_branch = (-B' + branch * sqrt(D)) / (2A).
+        disc = df_sub(df_mul(Bp, Bp),
+                      df_mul_f(df_mul(A_full, R), F32(4.0)))
+        ok = disc.hi > 0
+        disc_c = DF(jnp.where(ok, disc.hi, F32(0.0)),
+                    jnp.where(ok, disc.lo, F32(0.0)))
+        sq = df_sqrt(disc_c)
+        sgn = jnp.where(Bp.hi >= 0, F32(1.0), F32(-1.0))
+        qq = df_mul_f(df_add(Bp, df_mul_f(sq, sgn)), F32(-0.5))
+        safe_q = DF(jnp.where(qq.hi != 0, qq.hi, F32(1.0)), qq.lo)
+        safe_A = DF(jnp.where(A_full.hi != 0, A_full.hi, F32(1.0)),
+                    A_full.lo)
+        t_q_over_A = df_div(qq, safe_A)
+        t_R_over_q = df_div(R, safe_q)
+        b_nonneg = Bp.hi >= 0
+        t_plus = DF(jnp.where(b_nonneg, t_R_over_q.hi, t_q_over_A.hi),
+                    jnp.where(b_nonneg, t_R_over_q.lo, t_q_over_A.lo))
+        t_minus = DF(jnp.where(b_nonneg, t_q_over_A.hi, t_R_over_q.hi),
+                     jnp.where(b_nonneg, t_q_over_A.lo, t_R_over_q.lo))
+        pick_plus = jnp.asarray(mirror.branch) >= 0
+        dt = DF(jnp.where(pick_plus, t_plus.hi, t_minus.hi),
+                jnp.where(pick_plus, t_plus.lo, t_minus.lo))
+        valid = valid & ok
+
+        # intersection deviation: dq = dp + T dd + dt (D + dd)
+        d_full = gdf.Vec3DF(df_add(dd.x, D_c.x), df_add(dd.y, D_c.y),
+                            df_add(dd.z, D_c.z))
+        dq = dp.add(dd.scale(T_c)).add(d_full.scale(dt))
+
+        # normal: gradQ(dq) = bvec + 2 M dq, normalized in df32
+        Mdq = gdf.matvec(M9, dq)
+        n_unit = gdf.Vec3DF(df_add(df_mul_f(Mdq.x, F32(2.0)), nn_c.x),
+                            df_add(df_mul_f(Mdq.y, F32(2.0)), nn_c.y),
+                            df_add(df_mul_f(Mdq.z, F32(2.0)), nn_c.z)
+                            ).normalize()
+
+        # reflect the full direction; deviation from the chief\'s reflected
+        refl = gdf.reflect_df(d_full, n_unit)
+        dd = gdf.Vec3DF(df_sub(refl.x, Dn_c.x), df_sub(refl.y, Dn_c.y),
+                        df_sub(refl.z, Dn_c.z))
+        dp = dq  # frames hop through the chief constants
+
+        points.append(P[i][:, None].astype(f64) + dq.to_f64())
+        dirs.append(D[i + 1][:, None].astype(f64) + dd.to_f64())
+        normals.append(n_unit.to_f64())
+        segs.append(Ti.astype(f64) + gdf.df_to_f64(dt))
+        prev_pt = P[i]
+
+    return TraceResult(tuple(points), tuple(dirs), tuple(normals),
+                       tuple(segs), valid)
+
+
 def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
                               n_h: int, n_v: int, stage: int = -1):
     """Re-derive source angles so *exit* angles are equally spaced.
@@ -167,7 +327,7 @@ class EngineResult(NamedTuple):
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
         defocus_wave=1e-3, exit_pupil_uniform: bool = True,
         tilt_correction: bool = True, ray_sharding=None,
-        uniform_stage: int = -1) -> EngineResult:
+        uniform_stage: int = -1, precision: str = "f64") -> EngineResult:
     """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
     -> tilt removal -> detector planes -> OPL -> wavefront.
 
@@ -183,18 +343,24 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     rand_p0v = fan_angles(system.fan_v, n_v)
     src = system.source[:, None] * jnp.ones((1, n_h * n_v))
 
+    if precision == "df32":
+        has_figure = any(m.fig_coeffs.shape != (1, 1) for m in system.mirrors)
+        trace_fn = trace if has_figure else trace_df
+    else:
+        trace_fn = trace
+
     rays = ray_fan(rand_p0h, rand_p0v)
     if ray_sharding is not None:
         rays = jax.lax.with_sharding_constraint(rays, ray_sharding)
         src = jax.lax.with_sharding_constraint(src, ray_sharding)
-    result = trace(system, rays, src)
+    result = trace_fn(system, rays, src)
 
     if exit_pupil_uniform:
         new_h, new_v = exit_pupil_uniform_angles(result, rand_p0h, rand_p0v,
                                                  n_h, n_v,
                                                  stage=uniform_stage)
         rays = ray_fan(new_h, new_v)
-        result = trace(system, rays, src)
+        result = trace_fn(system, rays, src)
         rand_p0h, rand_p0v = new_h, new_v
 
     det_x = system.s2f_middle + defocus
