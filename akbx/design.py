@@ -363,3 +363,58 @@ def wolter_i_angles(a_hyp, b_hyp, org_hyp, a_ell, b_ell, org_ell, theta1):
     theta4 = tg.arcsin(jnp.sqrt(b_hyp**2 / (l3 * l4)))
     theta5 = 2 * theta4 + theta3
     return theta2, theta3, theta4, theta5, l1, l2, l3, l4
+
+
+class KBDesignManager:
+    """Lazy, memoised KB design with a ``ParamsDesign.txt`` audit trail.
+
+    Parity: ``KBDesignManager`` / module-level ``kb_manager`` singleton
+    (AKB_raytrace_20250312.py:9695-9741): holds the 7 design inputs, runs
+    the (expensive, DE-based) :func:`design_kb` at most once per input set,
+    and writes the inputs to ``ParamsDesign.txt`` whenever a solve happens
+    so every run directory records the design it traced.
+
+    Unlike the reference's singleton, the cache is keyed on the inputs, so
+    ``set_design`` with the same values never recomputes and changing any
+    value invalidates cleanly (the reference silently kept the stale pair).
+    """
+
+    def __init__(self, params_path: str | None = "ParamsDesign.txt",
+                 seed: int | None = 0):
+        self.params_path = params_path
+        self.seed = seed
+        self._key = None
+        self._pair: tuple[EllipseNA, EllipseNA] | None = None
+
+    def set_design(self, l_i1, l_o1, theta_g1, na_o_sin, target_l_o2,
+                   target_gap, ast, na_o_sin_h=None):
+        key = tuple(float(v) for v in
+                    (l_i1, l_o1, theta_g1, na_o_sin,
+                     na_o_sin if na_o_sin_h is None else na_o_sin_h,
+                     target_l_o2, target_gap, ast))
+        if key != self._key:
+            self._key = key
+            self._pair = None
+
+    def get_design(self) -> tuple[EllipseNA, EllipseNA]:
+        if self._key is None:
+            raise RuntimeError("set_design() before get_design()")
+        if self._pair is None:
+            (l_i1, l_o1, theta_g1, na_v, na_h,
+             target_l_o2, target_gap, ast) = self._key
+            if self.params_path:
+                with open(self.params_path, "w") as f:
+                    f.write(f"l_i1 = {l_i1}\n")
+                    f.write(f"l_o1 = {l_o1}\n")
+                    f.write(f"theta_g1 = {theta_g1}\n")
+                    f.write(f"na_o_sin = {na_v}\n")
+                    f.write(f"target_l_o2 = {target_l_o2}\n")
+                    f.write(f"target_gap = {target_gap}\n")
+                    f.write(f"ast = {ast}\n")
+            self._pair = design_kb(l_i1, l_o1, theta_g1, na_v, na_h,
+                                   target_l_o2, target_gap, ast,
+                                   seed=self.seed)
+        return self._pair
+
+
+kb_manager = KBDesignManager()

@@ -30,8 +30,8 @@ class SpotStats(NamedTuple):
     n: jnp.ndarray          # valid-ray count
     sum_yz: jnp.ndarray     # (2,) detector y/z sums
     sumsq_yz: jnp.ndarray   # (2,) detector y/z squared sums
-    sum_opl: jnp.ndarray
-    sumsq_opl: jnp.ndarray
+    sum_opl: jnp.ndarray    # OPL sums, pivot-shifted by det_x (a ~146 m
+    sumsq_opl: jnp.ndarray  # path squared in f64 would drown the ~1e-4 std)
     min_yz: jnp.ndarray     # (2,)
     max_yz: jnp.ndarray     # (2,)
 
@@ -77,7 +77,7 @@ def _block_stats(system, angles_h, angles_v, det_x, ray_sharding):
     result = tr.trace(system, rays, src)
     det = tr.detector_points(result, det_x)
     d_last = jnp.linalg.norm(det - result.exit_points, axis=0)
-    opl = sum(result.segments) + d_last
+    opl = sum(result.segments) + d_last - det_x
     w = result.valid.astype(det.dtype)
     yz = det[1:3]
     yz_m = jnp.where(result.valid[None, :], yz, 0.0)

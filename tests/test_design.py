@@ -107,3 +107,27 @@ class TestReferenceParity:
             np.testing.assert_allclose(
                 float(getattr(ours, attr)), float(getattr(theirs, attr)),
                 rtol=1e-6, err_msg=attr)
+
+
+class TestKBDesignManager:
+    def test_memoised_solve_and_params_file(self, tmp_path, monkeypatch):
+        from akbx.design import KBDesignManager
+
+        path = str(tmp_path / "ParamsDesign.txt")
+        m = KBDesignManager(params_path=path, seed=0)
+        with np.testing.assert_raises(RuntimeError):
+            m.get_design()
+        m.set_design(145.75, 1.05, 0.21, 0.0082, 0.32, 0.2287, 0.0)
+        e1, e2 = m.get_design()
+        e1b, e2b = m.get_design()
+        assert e1b is e1 and e2b is e2          # cached, no re-solve
+        m.set_design(145.75, 1.05, 0.21, 0.0082, 0.32, 0.2287, 0.0)
+        e1c, _ = m.get_design()
+        assert e1c is e1                        # same inputs -> same pair
+        text = open(path).read()
+        assert "l_i1 = 145.75" in text and "target_gap = 0.2287" in text
+        # the solved H mirror matches the requested working distance
+        np.testing.assert_allclose(float(e2.l_o2), 0.32, atol=1e-6)
+        # changing an input invalidates the cache
+        m.set_design(145.75, 1.05, 0.21, 0.0082, 0.32, 0.2287, 1e-4)
+        assert m._pair is None
