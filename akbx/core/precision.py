@@ -24,7 +24,25 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax.lax
 import jax.numpy as jnp
+
+
+def _bar(x):
+    """Opaque-value barrier protecting error-free transforms from XLA.
+
+    XLA's algebraic simplifier reassociates float expressions (e.g.
+    ``(a + b) - a -> b``, ``t - (t - a) -> a``), which is *exactly* the
+    cancellation the EFTs below rely on: under ``jit`` an unprotected
+    two_sum/two_prod collapses to plain base-precision arithmetic and the
+    whole double-word layer silently loses its low words (observed: a df32
+    Huygens distance chain degraded from 1e-15 to 1e-8 m — f32 grade).
+    ``optimization_barrier`` makes the carrier values opaque so the
+    patterns are invisible.  Only the exactly-rounded carriers need
+    protection; the small correction terms tolerate reassociation (their
+    rounding is second-order in the df number).
+    """
+    return jax.lax.optimization_barrier(x)
 
 
 class DF(NamedTuple):
@@ -36,15 +54,15 @@ class DF(NamedTuple):
 
 def two_sum(a, b) -> DF:
     """Error-free addition: a + b = s + e exactly (Knuth)."""
-    s = a + b
-    bb = s - a
+    s = _bar(a + b)
+    bb = _bar(s - a)
     e = (a - (s - bb)) + (b - bb)
     return DF(s, e)
 
 
 def fast_two_sum(a, b) -> DF:
     """Error-free addition assuming |a| >= |b| (Dekker)."""
-    s = a + b
+    s = _bar(a + b)
     e = b - (s - a)
     return DF(s, e)
 
@@ -54,18 +72,27 @@ def _split(a):
     dt = jnp.asarray(a).dtype
     # Split constant 2^s + 1 with s = ceil(mantissa_bits / 2).
     c = jnp.array(4097.0 if dt == jnp.float32 else 134217729.0, dtype=dt)
-    t = c * a
-    hi = t - (t - a)
+    t = _bar(c * a)
+    hi = _bar(t - _bar(t - a))
     lo = a - hi
     return hi, lo
 
 
 def two_prod(a, b) -> DF:
-    """Error-free multiplication: a * b = p + e exactly (Dekker, FMA-free)."""
-    p = a * b
-    ah, al = _split(a)
-    bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    """Error-free multiplication: a * b = p + e.
+
+    Written as ``e = a*b - p`` on purpose: XLA's fused CPU codegen contracts
+    mul-feeding-sub into an FMA, so this evaluates to ``fma(a, b, -p)`` —
+    the *exact* rounding error of ``p`` (the classic FMA two_prod).  The
+    FMA-free Dekker split is NOT safe here: the same contraction pass
+    rewrites Dekker's ``ah*bh - p`` with the unrounded product, collapsing
+    the error term to zero (observed on XLA:CPU; verified by
+    tests/test_precision.py jit-vs-eager guards).  Where no contraction
+    happens (interpreters, strict-IEEE backends) this degrades gracefully
+    to ``e = 0`` — plain base-precision arithmetic, never a wrong sign.
+    """
+    p = _bar(a * b)
+    e = a * b - p
     return DF(p, e)
 
 
@@ -137,9 +164,12 @@ def df_rsqrt(x: DF) -> DF:
 def df_sqrt(x: DF) -> DF:
     """Double-word sqrt via one Newton refinement of the base sqrt."""
     s = jnp.sqrt(x.hi)
-    # r = x - s^2 computed exactly
+    # r = x - s^2 via two_sum (add-only: immune to FMA contraction; a bare
+    # ``x.hi - s2.hi`` would contract with s2's defining mul and then
+    # double-count s2.lo)
     s2 = two_prod(s, s)
-    r = (x.hi - s2.hi) - s2.lo + x.lo
+    d = two_sum(x.hi, -s2.hi)
+    r = d.hi + (d.lo - s2.lo + x.lo)
     safe = jnp.where(s > 0, s, 1.0)
     e = r / (2.0 * safe)
     return fast_two_sum(s, e)

@@ -40,29 +40,36 @@ TWO_PI_HI32 = np.float32(6.2831855)
 TWO_PI_LO32 = np.float32(TWO_PI - float(np.float32(6.2831855)))
 
 
+def _bar(x):
+    """EFT guard: XLA's algebraic simplifier reassociates float arithmetic
+    (``(a+b)-a -> b``), collapsing every error-free transform below to plain
+    f32 when the kernel maths is traced through XLA (interpret mode / any
+    reuse of these helpers outside Mosaic).  See akbx.core.precision._bar.
+    Mosaic compiles ``optimization_barrier`` as a no-op copy, so the TPU
+    kernel keeps its exact schedule."""
+    return jax.lax.optimization_barrier(x)
+
+
 def _two_sum(a, b):
-    s = a + b
-    bb = s - a
+    s = _bar(a + b)
+    bb = _bar(s - a)
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def _fast_two_sum(a, b):
-    s = a + b
+    s = _bar(a + b)
     return s, b - (s - a)
 
 
-def _split(a):
-    c = np.float32(4097.0) * a
-    hi = c - (c - a)
-    return hi, a - hi
-
-
 def _two_prod(a, b):
-    p = a * b
-    ah, al = _split(a)
-    bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    # FMA-form two_prod: ``a*b - p`` contracts to fma(a, b, -p) = the exact
+    # rounding error, on both XLA:CPU fused codegen and Mosaic (TPU VPU has
+    # hardware FMA).  The Dekker split is NOT safe under XLA — the same
+    # contraction rewrites its ``ah*bh - p`` with the unrounded product and
+    # zeroes the error term.  See akbx.core.precision.two_prod.
+    p = _bar(a * b)
+    e = a * b - p
     return p, e
 
 
@@ -91,7 +98,8 @@ def _df_sub(xh, xl, yh, yl):
 def _df_sqrt(xh, xl):
     s = jnp.sqrt(xh)
     s2h, s2l = _two_prod(s, s)
-    r = (xh - s2h) - s2l + xl
+    dh, dl = _two_sum(xh, -s2h)   # add-only: no contraction hazard
+    r = dh + (dl - s2l + xl)
     safe = jnp.where(s > 0, s, 1.0)
     e = r / (2.0 * safe)
     return _fast_two_sum(s, e)
@@ -169,9 +177,11 @@ def _split64(x64: jnp.ndarray):
     return hi, lo
 
 
-@functools.partial(jax.jit, static_argnames=("target_tile", "source_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("target_tile", "source_tile", "interpret"))
 def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
-                    target_tile: int = 512, source_tile: int = 1024):
+                    target_tile: int = 512, source_tile: int = 1024,
+                    interpret: bool = False):
     n = tgt_pts.shape[1]
     m = src_pts.shape[1]
     n_pad = (-n) % target_tile
@@ -228,6 +238,7 @@ def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
             bytes_accessed=(n + n_pad) * 4 * 8 + (m + m_pad) * 4 * 8 * nt,
             transcendentals=3 * (n + n_pad) * (m + m_pad),
         ),
+        interpret=interpret,
     )(reshape_t(txh), reshape_t(txl), reshape_t(tyh), reshape_t(tyl),
       reshape_t(tzh), reshape_t(tzl),
       reshape_s(sxh), reshape_s(sxl), reshape_s(syh), reshape_s(syl),
@@ -237,8 +248,14 @@ def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
 
 
 def propagate_pallas(source, target_points, wavelength: float,
-                     target_tile: int = 512, source_tile: int = 1024):
-    """df32 Pallas Huygens propagation.  Signature mirrors wave.propagate."""
+                     target_tile: int = 512, source_tile: int = 1024,
+                     interpret: bool = False):
+    """df32 Pallas Huygens propagation.  Signature mirrors wave.propagate.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter on
+    any backend (used by CI on CPU; numerically identical modulo f32
+    reassociation).
+    """
     k = 2.0 * math.pi / wavelength
     center = jnp.concatenate([source.points, target_points], axis=1).mean(
         axis=1, keepdims=True)
@@ -250,5 +267,6 @@ def propagate_pallas(source, target_points, wavelength: float,
     k_lo = np.float32(k - float(k_hi))
     k_pair = jnp.array([k_hi, k_lo], dtype=jnp.float32)
     re, im = _huygens_pallas(tgt_pts, src_pts, src_re, src_im, k_pair,
-                             target_tile=target_tile, source_tile=source_tile)
+                             target_tile=target_tile, source_tile=source_tile,
+                             interpret=interpret)
     return re.astype(jnp.float64), im.astype(jnp.float64)
