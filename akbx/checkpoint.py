@@ -78,7 +78,18 @@ def restore_train_state(directory: str, step: int | None = None,
             if hasattr(x, "dtype") else x, like)
         state = ckpt.restore(path, abstract)
     else:
-        state = ckpt.restore(path)
+        # No target tree: restore as plain numpy.  A bare restore() would
+        # re-create the *saved* shardings, which fails whenever the device
+        # set changed between save and restore (e.g. checkpoint written on
+        # the CPU backend, restored in a process whose default backend is a
+        # TPU — jax.local_devices() no longer contains TFRT_CPU_0).
+        import orbax.checkpoint as ocp
+
+        handler_ckpt = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        meta = handler_ckpt.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        state = handler_ckpt.restore(path, restore_args=restore_args)
     extra = None
     extra_path = os.path.join(path, "extra.json")
     if os.path.exists(extra_path):

@@ -62,15 +62,37 @@ def _fast_two_sum(a, b):
     return s, b - (s - a)
 
 
+def _split(a):
+    # Dekker split; 4097 = 2^12 + 1 for f32 (this kernel is f32-only)
+    c = jnp.float32(4097.0)
+    t = _bar(c * a)
+    hi = _bar(t - _bar(t - a))
+    return hi, a - hi
+
+
 def _two_prod(a, b):
-    # FMA-form two_prod: ``a*b - p`` contracts to fma(a, b, -p) = the exact
-    # rounding error, on both XLA:CPU fused codegen and Mosaic (TPU VPU has
-    # hardware FMA).  The Dekker split is NOT safe under XLA — the same
-    # contraction rewrites its ``ah*bh - p`` with the unrounded product and
-    # zeroes the error term.  See akbx.core.precision.two_prod.
-    p = _bar(a * b)
-    e = a * b - p
-    return p, e
+    # Contraction-immune two_prod: never rounds a product.  All four Dekker
+    # partials are exactly representable (<= 12-bit halves in f32), so FMA
+    # contraction cannot change their values, and the total is assembled
+    # with two_sum chains only (adds are never contracted and remat-safe).
+    # Exact in Mosaic, XLA jit/eager, and interpret mode alike.  See
+    # akbx.core.precision.two_prod for the failure analysis of the Dekker
+    # and FMA forms under XLA:CPU fusion + LLVM contraction.
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    hh = ah * bh
+    hl = ah * bl
+    lh = al * bh
+    ll = al * bl
+    ch, cl = _two_sum(hl, lh)
+    ph, pl_ = _two_sum(hh, ch)
+    dh, dl = _two_sum(pl_, cl)
+    qh, ql = _two_sum(dh, ll)
+    rh, rl = _fast_two_sum(ph, qh)
+    sh, sl = _two_sum(dl, ql)
+    th, tl = _two_sum(rl, sh)
+    lo = th + (tl + sl)
+    return _fast_two_sum(rh, lo)
 
 
 def _df_add(xh, xl, yh, yl):
