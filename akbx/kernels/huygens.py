@@ -40,97 +40,118 @@ TWO_PI_HI32 = np.float32(6.2831855)
 TWO_PI_LO32 = np.float32(TWO_PI - float(np.float32(6.2831855)))
 
 
-def _bar(x):
-    """EFT guard: XLA's algebraic simplifier reassociates float arithmetic
-    (``(a+b)-a -> b``), collapsing every error-free transform below to plain
-    f32 when the kernel maths is traced through XLA (interpret mode / any
-    reuse of these helpers outside Mosaic).  See akbx.core.precision._bar.
-    Mosaic compiles ``optimization_barrier`` as a no-op copy, so the TPU
-    kernel keeps its exact schedule."""
-    return jax.lax.optimization_barrier(x)
+def _make_df_ops(use_barrier: bool):
+    """Build the df32 helper set with or without the EFT value barrier.
 
+    Two different compilers consume this kernel body:
 
-def _two_sum(a, b):
-    s = _bar(a + b)
-    bb = _bar(s - a)
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
+    * **XLA** (interpret mode, CPU CI): its algebraic simplifier folds
+      ``(a+b)-a -> b`` when it can see a value's identity, collapsing every
+      error-free transform to plain f32.  ``optimization_barrier`` hides
+      the identity (see akbx.core.precision._bar) — required here.
+    * **Mosaic** (real TPU lowering): has NO lowering rule for
+      ``optimization_barrier`` (NotImplementedError, KernelType.TC), and
+      also runs no identity-based float reassociation — MLIR arith does
+      not fold ``(a+b)-a`` without fastmath.  So the barrier is both
+      impossible and unnecessary there; use the identity.
 
+    The structural defense against FMA contraction (exact Dekker partial
+    products, add-only assembly — see akbx.core.precision.two_prod) is
+    compiler-independent and present in both variants.
+    """
+    if use_barrier:
+        bar = jax.lax.optimization_barrier
+    else:
+        bar = lambda x: x  # noqa: E731
 
-def _fast_two_sum(a, b):
-    s = _bar(a + b)
-    return s, b - (s - a)
+    def two_sum(a, b):
+        s = bar(a + b)
+        bb = bar(s - a)
+        e = (a - (s - bb)) + (b - bb)
+        return s, e
 
+    def fast_two_sum(a, b):
+        s = bar(a + b)
+        return s, b - (s - a)
 
-def _split(a):
-    # Dekker split; 4097 = 2^12 + 1 for f32 (this kernel is f32-only)
-    c = jnp.float32(4097.0)
-    t = _bar(c * a)
-    hi = _bar(t - _bar(t - a))
-    return hi, a - hi
+    def split(a):
+        # Dekker split; 4097 = 2^12 + 1 for f32 (this kernel is f32-only)
+        c = jnp.float32(4097.0)
+        t = bar(c * a)
+        hi = bar(t - bar(t - a))
+        return hi, a - hi
 
+    def two_prod(a, b):
+        # Contraction-immune two_prod: never rounds a product.  All four
+        # Dekker partials are exactly representable (<= 12-bit halves in
+        # f32), so FMA contraction cannot change their values, and the
+        # total is assembled with two_sum chains only (adds are never
+        # contracted and remat-safe).  See akbx.core.precision.two_prod
+        # for the failure analysis of the Dekker and FMA forms under
+        # XLA:CPU fusion + LLVM contraction.
+        ah, al = split(a)
+        bh, bl = split(b)
+        hh = ah * bh
+        hl = ah * bl
+        lh = al * bh
+        ll = al * bl
+        ch, cl = two_sum(hl, lh)
+        ph, pl_ = two_sum(hh, ch)
+        dh, dl = two_sum(pl_, cl)
+        qh, ql = two_sum(dh, ll)
+        rh, rl = fast_two_sum(ph, qh)
+        sh, sl = two_sum(dl, ql)
+        th, tl = two_sum(rl, sh)
+        lo = th + (tl + sl)
+        return fast_two_sum(rh, lo)
 
-def _two_prod(a, b):
-    # Contraction-immune two_prod: never rounds a product.  All four Dekker
-    # partials are exactly representable (<= 12-bit halves in f32), so FMA
-    # contraction cannot change their values, and the total is assembled
-    # with two_sum chains only (adds are never contracted and remat-safe).
-    # Exact in Mosaic, XLA jit/eager, and interpret mode alike.  See
-    # akbx.core.precision.two_prod for the failure analysis of the Dekker
-    # and FMA forms under XLA:CPU fusion + LLVM contraction.
-    ah, al = _split(a)
-    bh, bl = _split(b)
-    hh = ah * bh
-    hl = ah * bl
-    lh = al * bh
-    ll = al * bl
-    ch, cl = _two_sum(hl, lh)
-    ph, pl_ = _two_sum(hh, ch)
-    dh, dl = _two_sum(pl_, cl)
-    qh, ql = _two_sum(dh, ll)
-    rh, rl = _fast_two_sum(ph, qh)
-    sh, sl = _two_sum(dl, ql)
-    th, tl = _two_sum(rl, sh)
-    lo = th + (tl + sl)
-    return _fast_two_sum(rh, lo)
+    def df_add(xh, xl, yh, yl):
+        sh, sl = two_sum(xh, yh)
+        th, tl = two_sum(xl, yl)
+        c = sl + th
+        vh, vl = fast_two_sum(sh, c)
+        return fast_two_sum(vh, tl + vl)
 
+    def df_mul(xh, xl, yh, yl):
+        ph, pl = two_prod(xh, yh)
+        e = pl + (xh * yl + xl * yh)
+        return fast_two_sum(ph, e)
 
-def _df_add(xh, xl, yh, yl):
-    sh, sl = _two_sum(xh, yh)
-    th, tl = _two_sum(xl, yl)
-    c = sl + th
-    vh, vl = _fast_two_sum(sh, c)
-    return _fast_two_sum(vh, tl + vl)
+    def df_sq(xh, xl):
+        return df_mul(xh, xl, xh, xl)
 
+    def df_sub(xh, xl, yh, yl):
+        return df_add(xh, xl, -yh, -yl)
 
-def _df_mul(xh, xl, yh, yl):
-    ph, pl = _two_prod(xh, yh)
-    e = pl + (xh * yl + xl * yh)
-    return _fast_two_sum(ph, e)
+    def df_sqrt(xh, xl):
+        s = jnp.sqrt(xh)
+        s2h, s2l = two_prod(s, s)
+        dh, dl = two_sum(xh, -s2h)   # add-only: no contraction hazard
+        r = dh + (dl - s2l + xl)
+        safe = jnp.where(s > 0, s, 1.0)
+        e = r / (2.0 * safe)
+        return fast_two_sum(s, e)
 
+    class _Ops:
+        pass
 
-def _df_sq(xh, xl):
-    return _df_mul(xh, xl, xh, xl)
-
-
-def _df_sub(xh, xl, yh, yl):
-    return _df_add(xh, xl, -yh, -yl)
-
-
-def _df_sqrt(xh, xl):
-    s = jnp.sqrt(xh)
-    s2h, s2l = _two_prod(s, s)
-    dh, dl = _two_sum(xh, -s2h)   # add-only: no contraction hazard
-    r = dh + (dl - s2l + xl)
-    safe = jnp.where(s > 0, s, 1.0)
-    e = r / (2.0 * safe)
-    return _fast_two_sum(s, e)
+    ops = _Ops()
+    ops.two_sum = two_sum
+    ops.fast_two_sum = fast_two_sum
+    ops.two_prod = two_prod
+    ops.df_add = df_add
+    ops.df_mul = df_mul
+    ops.df_sq = df_sq
+    ops.df_sub = df_sub
+    ops.df_sqrt = df_sqrt
+    return ops
 
 
 def _huygens_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref, tzh_ref, tzl_ref,
                     sxh_ref, sxl_ref, syh_ref, syl_ref, szh_ref, szl_ref,
                     sre_ref, sim_ref, kk_ref,
-                    out_re_ref, out_im_ref):
+                    out_re_ref, out_im_ref, *, use_barrier: bool):
+    df = _make_df_ops(use_barrier)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -153,30 +174,30 @@ def _huygens_kernel(txh_ref, txl_ref, tyh_ref, tyl_ref, tzh_ref, tzl_ref,
     szh = szh_ref[:]
     szl = szl_ref[:]
 
-    dxh, dxl = _df_sub(txh, txl, sxh, sxl)
-    dyh, dyl = _df_sub(tyh, tyl, syh, syl)
-    dzh, dzl = _df_sub(tzh, tzl, szh, szl)
-    x2h, x2l = _df_sq(dxh, dxl)
-    y2h, y2l = _df_sq(dyh, dyl)
-    z2h, z2l = _df_sq(dzh, dzl)
-    d2h, d2l = _df_add(x2h, x2l, y2h, y2l)
-    d2h, d2l = _df_add(d2h, d2l, z2h, z2l)
-    rh, rl = _df_sqrt(d2h, d2l)
+    dxh, dxl = df.df_sub(txh, txl, sxh, sxl)
+    dyh, dyl = df.df_sub(tyh, tyl, syh, syl)
+    dzh, dzl = df.df_sub(tzh, tzl, szh, szl)
+    x2h, x2l = df.df_sq(dxh, dxl)
+    y2h, y2l = df.df_sq(dyh, dyl)
+    z2h, z2l = df.df_sq(dzh, dzl)
+    d2h, d2l = df.df_add(x2h, x2l, y2h, y2l)
+    d2h, d2l = df.df_add(d2h, d2l, z2h, z2l)
+    rh, rl = df.df_sqrt(d2h, d2l)
 
     kh = kk_ref[0, 0]
     kl = kk_ref[0, 1]
-    ph, plo = _df_mul(rh, rl, kh, kl)  # phase magnitude k*r (sign applied below)
+    ph, plo = df.df_mul(rh, rl, kh, kl)  # phase magnitude k*r (sign below)
 
     # two-step mod-2pi reduction of -k*r
     ph, plo = -ph, -plo
     n1 = jnp.round(ph / TWO_PI_HI32)
-    m1h, m1l = _two_prod(n1, TWO_PI_HI32)
-    ph, plo = _df_add(ph, plo, -m1h, -m1l)
-    ph, plo = _df_add(ph, plo, -n1 * TWO_PI_LO32, jnp.zeros_like(n1))
+    m1h, m1l = df.two_prod(n1, TWO_PI_HI32)
+    ph, plo = df.df_add(ph, plo, -m1h, -m1l)
+    ph, plo = df.df_add(ph, plo, -n1 * TWO_PI_LO32, jnp.zeros_like(n1))
     n2 = jnp.round(ph / TWO_PI_HI32)
-    m2h, m2l = _two_prod(n2, TWO_PI_HI32)
-    ph, plo = _df_add(ph, plo, -m2h, -m2l)
-    ph, plo = _df_add(ph, plo, -n2 * TWO_PI_LO32, jnp.zeros_like(n2))
+    m2h, m2l = df.two_prod(n2, TWO_PI_HI32)
+    ph, plo = df.df_add(ph, plo, -m2h, -m2l)
+    ph, plo = df.df_add(ph, plo, -n2 * TWO_PI_LO32, jnp.zeros_like(n2))
     phase = ph + plo
 
     s = jnp.sin(phase)
@@ -243,8 +264,12 @@ def _huygens_pallas(tgt_pts, src_pts, src_re_w, src_im_w, k_pair,
     reshape_t = lambda a: a.reshape(-1, 1)
     reshape_s = lambda a: a.reshape(1, -1)
 
+    # Barrier variant by compiler: XLA (interpret) needs the EFT value
+    # barrier; Mosaic cannot lower it and does not need it (see
+    # _make_df_ops).
+    kernel = functools.partial(_huygens_kernel, use_barrier=interpret)
     out_re, out_im = pl.pallas_call(
-        _huygens_kernel,
+        kernel,
         grid=(nt, ns),
         in_specs=[t_spec] * 6 + [s_spec] * 6 + [s_spec, s_spec, k_spec],
         out_specs=(out_spec, out_spec),

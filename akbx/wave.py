@@ -184,6 +184,22 @@ def _propagate_xla(src_points, src_re, src_im, src_ds, target_points,
     return re.reshape(-1)[:n], im.reshape(-1)[:n]
 
 
+def _tpu_is_default() -> bool:
+    """True when computation will actually land on a TPU.
+
+    ``jax.default_backend()`` alone is wrong in the dev image: a remote
+    TPU ('axon') backend is force-registered and ignores ``JAX_PLATFORMS``,
+    so tests that pin ``jax_default_device`` to host CPU still see
+    ``default_backend() == 'axon'`` — which previously routed
+    ``interpret=False`` Mosaic lowering onto the CPU executable (and
+    failed).  The pinned default *device* wins over the backend ranking.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) in ("tpu", "axon")
+    return jax.default_backend() in ("tpu", "axon")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _propagate_pallas_dd(src_points, src_re, src_im, src_ds, target_points,
                          wavelength: float, interpret: bool):
@@ -253,8 +269,7 @@ def propagate(source: WaveField, target_points: jnp.ndarray,
         return jnp.asarray(out_re), jnp.asarray(out_im)
     if use_pallas is None:
         use_pallas = (backend == "pallas" or
-                      (backend == "auto"
-                       and jax.default_backend() in ("tpu", "axon")))
+                      (backend == "auto" and _tpu_is_default()))
     if use_pallas:
         try:
             from akbx.kernels import huygens  # noqa: F401
@@ -263,7 +278,7 @@ def propagate(source: WaveField, target_points: jnp.ndarray,
                             "falling back to the XLA path", exc)
         else:
             if interpret is None:
-                interpret = jax.default_backend() not in ("tpu", "axon")
+                interpret = not _tpu_is_default()
             return _propagate_pallas_dd(source.points, source.re, source.im,
                                         source.ds, target_points,
                                         float(wavelength), bool(interpret))
