@@ -95,3 +95,39 @@ def in_scratch_dir():
         yield tmp
     finally:
         os.chdir(cwd)
+
+
+def run_wavecalc_cpu(handoff_dir: str) -> str:
+    """Execute the reference Huygens pipeline on a wave-handoff directory.
+
+    Runs the *actual* ``Wavecalc_raytrace_fromData_CPU0402.py`` __main__
+    (:190-377) — its conditions parser (incl. the pix_H/V swap logic
+    :218-231), its stage chain source->M1->M2(->M3->M4)->Image->Image2,
+    its x2 image-grid resize (:330-334) — with numba stubbed to plain
+    numpy.  The script hardcodes ``folder_path = 'output_20250404_
+    sNAAKB701'`` (:192); we satisfy it with a symlink in a scratch cwd
+    instead of editing the source.  Returns the absolute path of the
+    output directory the reference created (complex_data_*.npz +
+    resized points_gridImage*.npy inside).
+    """
+    _stub_modules()
+    src_path = os.path.join(_REF, "Wavecalc_raytrace_fromData_CPU0402.py")
+    with open(src_path, encoding="utf-8") as f:
+        src = f.read()
+    with in_scratch_dir() as tmp:
+        os.symlink(os.path.abspath(handoff_dir),
+                   os.path.join(tmp, "output_20250404_sNAAKB701"))
+        name = "Wavecalc_oracle_cpu"
+        mod = types.ModuleType(name)
+        mod.__file__ = src_path
+        mod.__name__ = "__main__"  # run the pipeline, not just the defs
+        sys.modules[name] = mod
+        try:
+            exec(compile(src, src_path, "exec"), mod.__dict__)
+        finally:
+            sys.modules.pop(name, None)
+        out_dirs = [d for d in os.listdir(tmp)
+                    if d.startswith("output_") and not os.path.islink(
+                        os.path.join(tmp, d))]
+        assert len(out_dirs) == 1, out_dirs
+        return os.path.join(tmp, out_dirs[0])
