@@ -242,6 +242,24 @@ def cmd_fab_profiles(args):
             prof["x_merged"], prof["y_merged"], pitch_mm=0.1)
         outputs[name] = {"raw": raw, "merged": merged,
                          "rotation_deg": float(np.degrees(prof["rotation"]))}
+
+    # H pair: the Wolter-I combined ell+hyp max-merged machining profile
+    # (reference AKB_calc_rotate.py:329-497)
+    w1 = fab.wolter1_combined_profile(spec.a_ell_h, spec.b_ell_h,
+                                      spec.a_hyp_h, spec.b_hyp_h,
+                                      spec.theta1_h, spec.length_ell_h,
+                                      num=args.num)
+    raw = fab.export_profile_csv(
+        os.path.join(args.out, "wolter1_rotated_before_offset.csv"),
+        np.concatenate([w1["x_ell"], w1["x_hyp"]]),
+        np.concatenate([w1["y_ell"], w1["y_hyp"]]))
+    fab.export_profile_csv(os.path.join(args.out, "wolter1_rotated.csv"),
+                           w1["x_merged"], w1["y_merged"])
+    merged = fab.export_profile_csv(
+        os.path.join(args.out, "wolter1_rotated_0.1mmpitch.csv"),
+        w1["x_merged"], w1["y_merged"], pitch_mm=0.1)
+    outputs["wolter1"] = {"raw": raw, "merged": merged,
+                          "rotation_deg": float(np.degrees(w1["rotation"]))}
     print(json.dumps(outputs))
     return 0
 

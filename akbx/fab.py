@@ -168,6 +168,98 @@ def machining_profile(profile_fn, center_x, length: float, num: int = 100000,
             "y_merged": y_merged, "rotation": rot}
 
 
+def wolter1_combined_profile(a_ell, b_ell, a_hyp, b_hyp, theta1,
+                             ell_length, num: int = 100000,
+                             pre_margin=(0.5, 0.018), keep_margin: float = 0.001,
+                             gap_margin: float = 0.015,
+                             extra_margin: float = 0.020,
+                             height_margin: float = 0.5, pitch: float = 1e-5):
+    """Combined ell+hyp machining profile of the Wolter-I H pair.
+
+    Re-derivation of the reference's "1型" export block
+    (AKB_calc_rotate.py:329-497): sample the ellipse about its chief-ray
+    station, chain each sample to the hyperbola through the shared focus
+    angle theta3 (arccos form :362-365, polar quadratic :371-376), rotate
+    BOTH mirrors by the single length-weighted chord rotation x1.2
+    (:381-389), offset to the (ell-start + hyp-end)/2 midpoint, flip y,
+    resample on a common pitch, take the per-sample max envelope across
+    the inter-mirror gap, and parabola-ramp both ends.
+
+    Returns dict with the rotated per-mirror profiles, the merged combined
+    profile, and the rotation angle.
+    """
+    f_ell = np.sqrt(a_ell**2 - b_ell**2)
+    f_hyp = np.sqrt(a_hyp**2 + b_hyp**2)
+
+    xc_ell, _ = conic_radius_at_angle(a_ell, b_ell, theta1, f_ell)
+
+    def ell_chain(xx):
+        yy = ellipse_profile(a_ell, b_ell, f_ell, xx)
+        l1 = np.sqrt(xx**2 + yy**2)
+        theta3 = np.arccos((2 * f_ell - xx) / (2 * a_ell - l1))
+        l3, _ = conic_radius_at_angle(a_hyp, b_hyp, theta3, f_hyp,
+                                      hyperbola=True)
+        xh = 2 * f_ell - l3 * np.cos(theta3)
+        yh = l3 * np.sin(theta3)
+        return yy, xh, yh
+
+    xx_e = np.linspace(-ell_length / 2, ell_length / 2, num) + xc_ell
+    yy_e, xx_h, yy_h = ell_chain(xx_e)
+    xx_em = np.linspace(-ell_length / 2 - pre_margin[0],
+                        ell_length / 2 + pre_margin[1], num) + xc_ell
+    yy_em, xx_hm, yy_hm = ell_chain(xx_em)
+
+    rot_h = -np.arctan((yy_h[-1] - yy_h[0]) / (xx_h[-1] - xx_h[0]))
+    rot_e = -np.arctan((yy_e[-1] - yy_e[0]) / (xx_e[-1] - xx_e[0]))
+    len_h = xx_h[0] - xx_h[-1]
+    len_e = xx_e[-1] - xx_e[0]
+    # the reference's empirical 1.2x length-weighted blend (:388)
+    rot_w = (rot_h * len_h + rot_e * len_e) / (len_h + len_e) * 1.2
+
+    xr_e, yr_e = rotation_2d(xx_e, yy_e, rot_w)
+    xr_h, yr_h = rotation_2d(xx_h, yy_h, rot_w)
+    xr_em, yr_em = rotation_2d(xx_em, yy_em, rot_w)
+    xr_hm, yr_hm = rotation_2d(xx_hm, yy_hm, rot_w)
+
+    x_off = (xr_e[0] + xr_h[-1]) / 2
+    y_off = np.nanmin(yr_e)
+    xr_e, xr_h, xr_em, xr_hm = (v - x_off for v in (xr_e, xr_h, xr_em, xr_hm))
+    yr_e, yr_h, yr_em, yr_hm = (y_off - v for v in (yr_e, yr_h, yr_em, yr_hm))
+
+    start = round(float(np.min(xr_em)), 5)
+    stop = round(float(np.max(xr_hm)), 5)
+    x_grid = np.arange(start, stop, pitch)
+    y_res_e = np.interp(x_grid, xr_em, yr_em)
+    y_res_h = np.interp(x_grid, xr_hm[::-1], yr_hm[::-1])
+
+    m_e = (x_grid > (np.nanmin(xr_e) - keep_margin)) & \
+          (x_grid < (np.nanmax(xr_e) + gap_margin))
+    m_h = (x_grid > (np.nanmin(xr_h) - gap_margin)) & \
+          (x_grid < (np.nanmax(xr_h) + keep_margin))
+    x_c, y_c = merge_max([(x_grid[m_e], y_res_e[m_e]),
+                          (x_grid[m_h], y_res_h[m_h])])
+
+    x_ext_u = np.arange(x_c[0] - extra_margin, x_c[0], pitch)
+    dydx = (y_c[1] - y_c[0]) / (x_c[1] - x_c[0])
+    y_ext_u = extrapolate_parabola(x_c[0] - extra_margin,
+                                   y_c[0] + height_margin,
+                                   x_c[0], y_c[0], dydx, x_ext_u)
+    x_ext_l = np.arange(x_c[-1], x_c[-1] + extra_margin, pitch)
+    dydx = (y_c[-1] - y_c[-2]) / (x_c[-1] - x_c[-2])
+    # apex follows the reference's own choice (:456): last ramp sample
+    # + extra_margin, not last profile sample + extra_margin
+    y_ext_l = extrapolate_parabola(x_ext_l[-1] + extra_margin,
+                                   y_c[-1] + height_margin,
+                                   x_c[-1], y_c[-1], dydx, x_ext_l)
+
+    x_m, y_m = merge_max([(x_c, y_c), (x_ext_u, y_ext_u),
+                          (x_ext_l, y_ext_l)])
+    return {"x_ell": xr_e, "y_ell": yr_e, "x_hyp": xr_h, "y_hyp": yr_h,
+            "x_merged": x_m, "y_merged": y_m, "rotation": rot_w,
+            "x_ell_raw": xx_e, "y_ell_raw": yy_e,
+            "x_hyp_raw": xx_h, "y_hyp_raw": yy_h}
+
+
 def export_profile_csv(path: str, x_m, y_m, pitch_mm: float | None = None):
     """CSV export in the reference's mm format (header 'x(mm),y(mm)').
 
@@ -186,6 +278,74 @@ def export_profile_csv(path: str, x_m, y_m, pitch_mm: float | None = None):
 
 
 # --- traced point-cloud tooling (surfacedetailAKB.py) ---
+
+def quadric_principal_frame(coeffs, tol: float = 1e-9):
+    """Recover a placed conic's canonical frame from its quadric.
+
+    The capability behind ``surfacedetailAKB.py``'s un-rotation loop
+    (:235-246): that script undoes the engine's placement with hardcoded
+    yaw/roll angles; here the frame is recovered from the quadric itself
+    (eigen-decomposition of the quadratic part), so ANY placed mirror can
+    be brought back to its canonical frame without engine internals.
+
+    Handles both surfaces of revolution (isolated eigenvalue = axis) and
+    the engine's cylindrical conics ('xz'-plane hyperbola/ellipse with no
+    y^2 term -> a null eigenvalue along the extrusion direction).
+
+    Returns dict with ``center`` (minimal-norm for cylinders — the center
+    is only defined up to the null direction), ``axis`` (conic long axis),
+    ``profile_dir`` (unit direction of the sag coordinate; None for a
+    surface of revolution), ``null`` mask, eigenvalues ``w``.
+    """
+    c = np.asarray(coeffs, dtype=float)
+    Q = np.array([[c[0], c[3] / 2, c[4] / 2],
+                  [c[3] / 2, c[1], c[5] / 2],
+                  [c[4] / 2, c[5] / 2, c[2]]])
+    g = np.array([c[6], c[7], c[8]]) / 2
+    w, V = np.linalg.eigh(Q)
+    null = np.abs(w) < tol * np.abs(w).max()
+    center = -np.linalg.lstsq(Q, g, rcond=tol)[0]
+
+    if null.any():
+        live = np.where(~null)[0]
+        # the conic long axis is the flatter principal direction
+        # (|1/a^2| << |1/b^2| for every grazing mirror here)
+        i_axis = live[np.argmin(np.abs(w[live]))]
+        i_prof = live[np.argmax(np.abs(w[live]))]
+        profile_dir = V[:, i_prof]
+    else:
+        # isolated eigenvalue = revolution axis: pick i whose exclusion
+        # leaves the closest-together pair
+        pair_gap = [abs(w[1] - w[2]), abs(w[0] - w[2]), abs(w[0] - w[1])]
+        i_axis = int(np.argmin(pair_gap))
+        profile_dir = None
+    axis = V[:, i_axis]
+    if axis[np.argmax(np.abs(axis))] < 0:
+        axis = -axis
+    return {"center": center, "axis": axis, "profile_dir": profile_dir,
+            "null": null, "w": w}
+
+
+def canonical_conic_profile(points, coeffs):
+    """Project a traced (3,N) cloud into its conic's canonical frame.
+
+    Returns (x_canonical, r): x along the recovered conic axis from the
+    conic center, r the unsigned sag coordinate (distance from the axis
+    for a surface of revolution; the in-plane coordinate for a
+    cylindrical conic) — directly comparable to
+    :func:`hyperbola_profile` / :func:`ellipse_profile` with ``x0=0``.
+    """
+    frame = quadric_principal_frame(coeffs)
+    p = np.asarray(points, dtype=float) - frame["center"][:, None]
+    x = frame["axis"] @ p
+    if np.mean(x) < 0:
+        x = -x
+    if frame["profile_dir"] is not None:
+        r = np.abs(frame["profile_dir"] @ p)
+    else:
+        perp = p - frame["axis"][:, None] * (frame["axis"] @ p)[None, :]
+        r = np.linalg.norm(perp, axis=0)
+    return x, r
 
 def newell_normal(p0, p1, p2, p3) -> np.ndarray:
     """Unit normal of a quad by Newell's method.

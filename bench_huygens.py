@@ -6,18 +6,24 @@ Measures source-target point-pairs per second for:
   * the Pallas df32 TPU kernel (production TPU path),
   * the pure-XLA chunked path (fallback),
   * the native C++/OpenMP engine (host oracle, exact f64),
-and cross-checks the accelerated fields against the native engine.
+cross-checks the accelerated *complex* fields against the native engine
+(complex error catches phase regressions that a magnitude check hides),
+and verifies jax.grad parity of the Pallas path vs the XLA path at small N.
 
-Prints one JSON line per backend to stdout.  Run with no arguments for
-the TPU attempt; set JAX_PLATFORMS=cpu PYTHONPATH=<repo> for CPU-only.
+Prints one JSON line per backend to stdout and, on a TPU backend, writes
+all records to BENCH_huygens_r02.json.  Run with no arguments for the TPU
+attempt; set JAX_PLATFORMS=cpu PYTHONPATH=<repo> for CPU-only.
 """
 
 import json
-import math
+import os
 import sys
 import time
 
 import numpy as np
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_huygens_r02.json")
 
 
 def make_problem(n_src: int, n_tgt: int, seed: int = 0):
@@ -39,6 +45,13 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    try:
+        cache_dir = os.path.expanduser("~/.cache/jax_akbx")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from akbx import wave
@@ -51,6 +64,7 @@ def main():
     tgt_j = jnp.asarray(tgt)
     pairs = float(n_src) * float(n_tgt)
     backend = jax.default_backend()
+    records = []
 
     # native f64 oracle on a small slice (full run is minutes on host)
     from akbx import native
@@ -60,12 +74,14 @@ def main():
     o_re, o_im = wave.propagate(field, tgt_j[:, :oracle_n], wavelength,
                                 backend="native")
     native_dt = time.time() - t0
-    o_mag = np.hypot(np.asarray(o_re), np.asarray(o_im))
-    print(json.dumps({
+    o_u = np.asarray(o_re) + 1j * np.asarray(o_im)
+    rec = {
         "metric": "huygens_pairs_per_s", "backend_impl": "native-cpp",
         "device": "host-cpu", "threads": native.num_threads(),
         "value": n_src * oracle_n / native_dt, "unit": "pairs/s",
-    }))
+    }
+    records.append(rec)
+    print(json.dumps(rec))
 
     for name in (("pallas",) if backend in ("tpu", "axon") else ()) + ("xla",):
         fn = jax.jit(lambda t, b=name: wave.propagate(field, t, wavelength,
@@ -83,14 +99,41 @@ def main():
             if time.time() - t0 > 3.0 or n_iter >= 50:
                 break
         dt = (time.time() - t0) / n_iter
-        mag = np.hypot(np.asarray(re[:oracle_n]), np.asarray(im[:oracle_n]))
-        err = float(np.max(np.abs(mag - o_mag)) / np.max(o_mag))
-        print(json.dumps({
+        u = np.asarray(re[:oracle_n]) + 1j * np.asarray(im[:oracle_n])
+        err = float(np.max(np.abs(u - o_u)) / np.max(np.abs(o_u)))
+        rec = {
             "metric": "huygens_pairs_per_s", "backend_impl": name,
             "device": backend, "value": pairs / dt, "unit": "pairs/s",
             "compile_s": round(compile_s, 1), "step_s": dt,
-            "mag_err_vs_native_f64": err,
-        }))
+            "field_err_vs_native_f64": err,
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+
+    if backend in ("tpu", "axon"):
+        # grad parity: Pallas custom_vjp (backward = XLA core's VJP) vs
+        # straight XLA autodiff, small N (VERDICT r1 #3)
+        gs, gt = make_problem(512, 384, seed=3)[:2]
+        gfield = wave.WaveField(jnp.asarray(gs), jnp.asarray(u_re[:512]),
+                                jnp.asarray(u_im[:512]),
+                                jnp.asarray(ds[:512]), 0, 0)
+        gt_j = jnp.asarray(gt)
+
+        def loss(re_w, b):
+            f = wave.WaveField(gfield.points, re_w, gfield.im, gfield.ds, 0, 0)
+            r, i = wave.propagate(f, gt_j, wavelength, backend=b)
+            return jnp.sum(r ** 2 + i ** 2)
+
+        g_p = np.asarray(jax.grad(loss)(gfield.re, "pallas"))
+        g_x = np.asarray(jax.grad(loss)(gfield.re, "xla"))
+        gerr = float(np.abs(g_p - g_x).max() / np.abs(g_x).max())
+        rec = {"metric": "huygens_grad_parity_pallas_vs_xla",
+               "value": gerr, "unit": "max_rel_err", "device": backend}
+        records.append(rec)
+        print(json.dumps(rec))
+        with open(ARTIFACT, "w") as fh:
+            json.dump({"records": records, "n_src": n_src, "n_tgt": n_tgt,
+                       "wavelength": wavelength}, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -176,3 +176,142 @@ class TestTooling:
         assert np.all(np.isfinite(out["pv"]))
         data = tooling.collect_sweep(str(tmp_path), pv_index=6)
         assert len(data["NA_h"]) == 2
+
+
+class TestWolter1Combined:
+    """Wolter-I H-pair combined machining profile (VERDICT r1 #7;
+    reference AKB_calc_rotate.py:329-497, "1型 setting11" constants)."""
+
+    SPEC = dict(a_ell=73.1076714403445, b_ell=0.517019631143022,
+                a_hyp=0.0077, b_hyp=0.00432051448679384,
+                theta1=0.000145746388538841, ell_length=0.030)
+
+    @pytest.fixture(scope="class")
+    def w1(self):
+        return fab.wolter1_combined_profile(**self.SPEC, num=8000)
+
+    def test_chain_points_on_conics(self, w1):
+        """The theta3 chain lands every hyperbola sample on the actual
+        hyperbola: center at 2*f_ell - f_hyp on the common-focus axis."""
+        a_e, b_e = self.SPEC["a_ell"], self.SPEC["b_ell"]
+        a_h, b_h = self.SPEC["a_hyp"], self.SPEC["b_hyp"]
+        f_e = np.sqrt(a_e**2 - b_e**2)
+        f_h = np.sqrt(a_h**2 + b_h**2)
+        x, y = w1["x_hyp_raw"], w1["y_hyp_raw"]
+        resid = ((2 * f_e - x - f_h) / a_h) ** 2 - (y / b_h) ** 2 - 1.0
+        assert np.abs(resid).max() < 1e-9
+        xe, ye = w1["x_ell_raw"], w1["y_ell_raw"]
+        resid_e = ((xe - f_e) / a_e) ** 2 + (ye / b_e) ** 2 - 1.0
+        assert np.abs(resid_e).max() < 1e-12
+
+    def test_merged_is_max_envelope(self, w1):
+        """Across the inter-mirror gap the merged profile equals the
+        pointwise max of the two mirror profiles."""
+        xm, ym = w1["x_merged"], w1["y_merged"]
+        inside = (xm > w1["x_ell"].min()) & (xm < w1["x_hyp"].max())
+        y_e = np.interp(xm, w1["x_ell"], w1["y_ell"],
+                        left=-np.inf, right=-np.inf)
+        xh = w1["x_hyp"][::-1]
+        y_h = np.interp(xm, xh, w1["y_hyp"][::-1],
+                        left=-np.inf, right=-np.inf)
+        envelope = np.maximum(y_e, y_h)
+        ok = inside & np.isfinite(envelope)
+        assert np.abs(ym[ok] - envelope[ok]).max() < 2e-6
+
+    @pytest.mark.skipif(not reference_available(),
+                        reason="reference not mounted")
+    def test_polar_roots_match_reference(self):
+        import AKB_calc_rotate as ref
+
+        a_h, b_h = self.SPEC["a_hyp"], self.SPEC["b_hyp"]
+        f_h = np.sqrt(a_h**2 + b_h**2)
+        theta3 = np.linspace(0.30, 0.38, 64)
+        ours, _ = fab.conic_radius_at_angle(a_h, b_h, theta3, f_h,
+                                            hyperbola=True)
+        x1, _ = ref.calc_hyp_theta(a_h, b_h, theta3, f_h)
+        np.testing.assert_allclose(ours, x1, rtol=1e-12)
+
+    def test_cli_exports_full_set(self, capsys, tmp_path):
+        """cmd_fab_profiles writes hyp_v, ell_v AND the Wolter-I combined
+        CSV set (the reference's full export battery)."""
+        from akbx import cli
+        import json
+
+        rc = cli.main(["fab-profiles", "--out", str(tmp_path),
+                       "--num", "4000"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        for name in ("hyp_v", "ell_v", "wolter1"):
+            assert name in out
+        for f in ("hyp_v_rotated_before_offset.csv",
+                  "hyp_v_rotated_0.1mmpitch.csv",
+                  "ell_v_rotated_before_offset.csv",
+                  "ell_v_rotated_0.1mmpitch.csv",
+                  "wolter1_rotated_before_offset.csv",
+                  "wolter1_rotated.csv",
+                  "wolter1_rotated_0.1mmpitch.csv"):
+            path = tmp_path / f
+            assert path.exists(), f
+            data = np.loadtxt(path, delimiter=",", skiprows=1)
+            assert data.shape[0] > 10 and np.all(np.isfinite(data))
+
+
+class TestTracedVsAnalyticLoop:
+    """The reference's own cross-implementation loop
+    (surfacedetailAKB.py:283-289): traced point cloud -> side profile ->
+    compare against the analytic machining export."""
+
+    def test_hyp_v_traced_cloud_matches_analytic(self):
+        import jax.numpy as jnp
+
+        from akbx import trace
+        from akbx.systems import (AlignParams, WOLTER_3_1_DEFAULT,
+                                  build_wolter_3_1)
+
+        spec = WOLTER_3_1_DEFAULT
+        sys_ = build_wolter_3_1(spec, AlignParams.zeros())
+        # n_v is the along-mirror axis for the V mirrors: 129 stations
+        # along hyp_v (~0.45 mm pitch), 5 transverse
+        res = trace.run(sys_, 5, 129, defocus=0.0,
+                        exit_pupil_uniform=False, tilt_correction=False)
+        cloud = np.asarray(res.trace.points[0])  # hyp_v (placement-rotated)
+
+        # recover the canonical frame from the PLACED quadric itself (the
+        # reference needs engine-internal yaw/roll values for this)
+        coeffs = np.asarray(sys_.mirrors[0].coeffs)
+        x_c, r = fab.canonical_conic_profile(cloud, coeffs)
+        y_ana = fab.hyperbola_profile(spec.a_hyp_v, spec.b_hyp_v, 0.0, x_c)
+        assert np.abs(r - y_ana).max() < 1e-9  # cloud IS the conic
+
+        # the reference's comparison loop: side profile of the cloud vs
+        # the analytic machining export, common grid, linear detrend
+        order = np.argsort(x_c)
+        x_c, r = x_c[order], r[order]
+        prof_traced = fab.sideview_profile(np.stack([x_c, 0 * x_c, r]))
+        # interval midpoint, not mean: the ray stations are angle-uniform,
+        # so mean(x) != (min+max)/2, and the hyperbola's sag is sensitive
+        # to where the arc sits this close to the vertex
+        ana = fab.machining_profile(
+            lambda x: fab.hyperbola_profile(spec.a_hyp_v, spec.b_hyp_v,
+                                            0.0, x),
+            float(x_c.min() + x_c.max()) / 2,
+            float(x_c.max() - x_c.min()), num=8000,
+            pre_margin=(0.005, 0.02))
+        x_a = ana["x_raw"] - np.min(ana["x_raw"])
+        y_a = ana["y_raw"] - np.min(ana["y_raw"])
+
+        # (a) tight: dense analytic interpolated AT the traced stations —
+        # free of the sparse-side linear-interp floor
+        x_t = prof_traced[0] * 1e3
+        y_t = prof_traced[1] * 1e3
+        y_at = np.interp(x_t, x_a * 1e3, y_a * 1e3)
+        d = y_t - (y_at - y_at.max() + y_t.max())
+        d -= np.polyval(np.polyfit(x_t, d, 1), x_t)
+        assert np.abs(d).max() < 1e-6  # 1 nm in mm units
+
+        # (b) the reference's own loop via compare_profiles: tolerance is
+        # the linear-interp floor h^2*y''/8 of the 0.45 mm station pitch
+        # (~50 nm), not profile disagreement — (a) pins that to <1 nm
+        xc, y1i, y2i, resid = fab.compare_profiles(
+            x_t, y_t, x_a * 1e3, y_a * 1e3, dx=0.05)
+        assert np.abs(resid).max() < 2e-4  # mm
