@@ -33,9 +33,49 @@ import numpy as np
 from akbx.core import trig as tg
 
 from akbx.core import geometry as geo
+from akbx.core import quadric_df as qdf
 from akbx import design
 from akbx.surfaces import (Mirror, ellipse_coeffs, hyperbola_coeffs,
                            make_mirror)
+
+
+class _PlacementOps:
+    """Quadric transform ops over plain f64 or double-word f64.
+
+    ``precise=True`` runs the placement congruences in double-f64
+    (:mod:`akbx.core.quadric_df`) — the TPU-native replacement for the
+    reference's mpmath placement (AKB_raytrace_III_I_20250710.py:1101-1300).
+    The chief-ray intersections and all downstream tracing stay f64; only
+    the cancellation-prone coefficient polynomials get the extra word.
+    """
+
+    def __init__(self, precise: bool, bug_compat: bool = False):
+        # bug_compat: reproduce the reference's shift_z bug (dropped
+        # ``h -= f*s``) for oracle parity tests — forces plain f64
+        self.bug_compat = bool(bug_compat)
+        self.precise = bool(precise) and not self.bug_compat
+
+    def lift(self, coeffs):
+        return qdf.QDF.from_f64(coeffs) if self.precise else coeffs
+
+    def f64(self, coeffs):
+        return qdf.coeffs_f64(coeffs)
+
+    def shift(self, coeffs, t):
+        if self.bug_compat:
+            return qdf.ref_shift_buggy(coeffs, t)
+        return qdf.shift(coeffs, t) if self.precise else geo.shift(coeffs, t)
+
+    def shift_x(self, coeffs, s):
+        return (qdf.shift_x(coeffs, s) if self.precise
+                else geo.shift_x(coeffs, s))
+
+    def rotate_about_axis(self, coeffs, axis, theta, center):
+        if self.bug_compat:
+            return qdf.ref_rotate_about_axis_buggy(coeffs, axis, theta, center)
+        return (qdf.rotate_about_axis(coeffs, axis, theta, center)
+                if self.precise
+                else geo.rotate_about_axis(coeffs, axis, theta, center))
 
 
 class AlignParams(NamedTuple):
@@ -163,7 +203,7 @@ def _edges_on_conic(coeffs, theta1, length, y_of_x, vertical: bool):
     return x1, y1, x2, y2, ok[0]
 
 
-def _apply_align_local(coeffs, axes, six, center):
+def _apply_align_local(coeffs, axes, six, center, ops: _PlacementOps | None = None):
     """pitch/roll/yaw about local axes at ``center`` + local decenters.
 
     Reference (independent-mirror path): AKB_raytrace_20250312.py:2521-2547
@@ -171,28 +211,56 @@ def _apply_align_local(coeffs, axes, six, center):
     (V mirrors) — the H mirrors use pitch, yaw, roll; order only matters at
     second order in the small angles, but we keep exact parity via ``order``.
     """
+    ops = ops or _PlacementOps(False)
     pitch, roll, yaw = six[0], six[1], six[2]
     dx, dy, dz = six[3], six[4], six[5]
     ax_x, ax_y, ax_z = axes[0], axes[1], axes[2]
-    coeffs, _ = geo.rotate_about_axis(coeffs, ax_z, yaw, center)
-    coeffs, _ = geo.rotate_about_axis(coeffs, ax_y, pitch, center)
-    coeffs, _ = geo.rotate_about_axis(coeffs, ax_x, roll, center)
+    coeffs, _ = ops.rotate_about_axis(coeffs, ax_z, yaw, center)
+    coeffs, _ = ops.rotate_about_axis(coeffs, ax_y, pitch, center)
+    coeffs, _ = ops.rotate_about_axis(coeffs, ax_x, roll, center)
     t = dx * ax_x + dy * ax_y + dz * ax_z
-    coeffs = geo.shift(coeffs, t)
+    coeffs = ops.shift(coeffs, t)
     return coeffs
 
 
 def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
                      source_shift=(0.0, 0.0, 0.0),
-                     unit_coupled: bool = False) -> OpticalSystem:
+                     unit_coupled: bool | str = False,
+                     fan_centering: str = "theta1",
+                     precise: bool = True,
+                     ref_shift_z_bug: bool = False) -> OpticalSystem:
     """Place the four mirrors of a Wolter III+I AKB system.
 
     Mirror order: hyp_V -> ell_V -> ell_H -> hyp_H (the hyp_H intersection
     uses the negative root branch, reference :2820).
-    ``unit_coupled`` reproduces the reference's ``option_set`` Wolter-unit
-    coordinated alignment (:2459-2518); default is independent mirrors.
+    ``unit_coupled`` selects the misalignment coupling:
+
+    * ``False`` (default) — independent mirrors, each rotated about its own
+      chief-ray center (AKB_raytrace_20250312.py:2521-2547);
+    * ``True`` — the reference's ``option_set`` Wolter-unit coordinated
+      alignment for both pairs (:2459-2518);
+    * ``"h"`` — the III_I engine's semantics: the H pair rotates together
+      about the H-unit center while the V mirrors stay independent
+      (AKB_raytrace_III_I_20250710.py:1351-1364 vs :1381-1394).
+
+    ``fan_centering`` selects the source-fan zero: ``"theta1"`` subtracts
+    the chief design angle (AKB_raytrace_20250312.py:2699-2700), ``"mean"``
+    subtracts the fan midpoint (AKB_raytrace_III_I_20250710.py:1560-1561).
+
+    ``precise`` runs the coefficient placement chain in double-f64
+    (:mod:`akbx.core.quadric_df`): the layout angle chain's
+    ``a^2+org^2-2*a*org*cos`` cancellation costs the in-plane rotation
+    omega_V ~3e-9 rad in f64 (~2e-9 relative H coefficients); the DF chain
+    matches the reference's 20-digit mpmath engine to ~3e-17 rad
+    (tests/test_iii_i_parity.py).  Rounded to f64 once at the end.
+
+    ``ref_shift_z_bug`` reproduces the reference's dropped ``h -= f*s``
+    shift_z update (:func:`akbx.core.quadric_df.ref_shift_z_buggy`) so
+    oracle parity tests can match the reference bit-for-bit; never use it
+    for real work.
     """
     f64 = jnp.float64
+    P = _PlacementOps(precise, bug_compat=ref_shift_z_bug)
     src_shift = jnp.asarray(source_shift, dtype=f64)
     org_hyp_v, org_ell_v = spec.org_hyp_v, spec.org_ell_v
     org_ell_h, org_hyp_h = spec.org_ell_h, spec.org_hyp_h
@@ -211,20 +279,32 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     # --- in-plane rotation target omega_V (reference :2047-2051) ---
     th_v1 = tg.arctan(y1_v / x1_v)
     th_v2 = tg.arctan(y2_v / x2_v)
-    *_, t5_v1, _, _, _, _ = design.wolter_iii_angles(
-        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
-        org_ell_v, th_v1)
-    *_, t5_v2, _, _, _, _ = design.wolter_iii_angles(
-        spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
-        org_ell_v, th_v2)
-    omega_v = (t5_v1 + t5_v2 + th_v1 + th_v2) / 2
+    if precise:
+        # the f64 angle chain carries ~3e-9 rad of cancellation error,
+        # which dominates the H-pair coefficient accuracy (quadric_df
+        # docstring; tests/test_iii_i_parity.py)
+        from akbx.core.precision import df_add as _dfa
+        *_, t5_v1_df = qdf.wolter_iii_angles_df(
+            spec.a_hyp_v, spec.b_hyp_v, spec.a_ell_v, spec.b_ell_v, th_v1)
+        *_, t5_v2_df = qdf.wolter_iii_angles_df(
+            spec.a_hyp_v, spec.b_hyp_v, spec.a_ell_v, spec.b_ell_v, th_v2)
+        om = _dfa(t5_v1_df, t5_v2_df)
+        omega_v = (om.hi + om.lo + th_v1 + th_v2) / 2
+    else:
+        *_, t5_v1, _, _, _, _ = design.wolter_iii_angles(
+            spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+            org_ell_v, th_v1)
+        *_, t5_v2, _, _, _, _ = design.wolter_iii_angles(
+            spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
+            org_ell_v, th_v2)
+        omega_v = (t5_v1 + t5_v2 + th_v1 + th_v2) / 2
 
     # --- mirror 1: hyp_V (reference :1976-1989) ---
     ax1 = jnp.eye(3, dtype=f64)
-    coeffs_hyp_v = geo.shift_x(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"),
-                               org_hyp_v)
-    coeffs_hyp_v, R = geo.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
-                                            jnp.zeros(3))
+    coeffs_hyp_v = P.shift_x(P.lift(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz")),
+                             org_hyp_v)
+    coeffs_hyp_v, R = P.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
+                                          jnp.zeros(3))
     ax1 = (R @ ax1.T).T
 
     # --- chief-ray pre-trace (reference :2144-2257) ---
@@ -237,49 +317,55 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     bufray = geo.normalize(bufray)
     buf_src = jnp.zeros((3, 3))
 
-    center_hyp_v, _, okb1 = geo.intersect(coeffs_hyp_v, bufray, buf_src)
-    bufreflect1 = geo.reflect(bufray, geo.surface_normal(coeffs_hyp_v, center_hyp_v))
+    center_hyp_v, _, okb1 = geo.intersect(P.f64(coeffs_hyp_v), bufray, buf_src)
+    bufreflect1 = geo.reflect(bufray, geo.surface_normal(P.f64(coeffs_hyp_v),
+                                                         center_hyp_v))
 
     # --- mirror 2: ell_V (reference :2272-2296) ---
     ax2 = jnp.eye(3, dtype=f64)
-    coeffs_ell_v = geo.shift_x(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz"),
-                               2 * org_hyp_v + org_ell_v)
-    coeffs_ell_v, R = geo.rotate_about_axis(coeffs_ell_v, ax2[1], spec.theta1_v,
-                                            jnp.zeros(3))
+    coeffs_ell_v = P.shift_x(P.lift(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz")),
+                             2 * org_hyp_v + org_ell_v)
+    coeffs_ell_v, R = P.rotate_about_axis(coeffs_ell_v, ax2[1], spec.theta1_v,
+                                          jnp.zeros(3))
     ax2 = (R @ ax2.T).T
-    center_ell_v, _, okb2 = geo.intersect(coeffs_ell_v, bufreflect1, center_hyp_v)
-    bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(coeffs_ell_v, center_ell_v))
+    center_ell_v, _, okb2 = geo.intersect(P.f64(coeffs_ell_v), bufreflect1,
+                                          center_hyp_v)
+    bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(P.f64(coeffs_ell_v),
+                                                              center_ell_v))
 
     mean_center_ell_v = jnp.mean(center_ell_v[:, 1:], axis=1)
 
     # --- mirror 3: ell_H (reference :2323-2352) ---
     ax3 = jnp.eye(3, dtype=f64)
-    coeffs_ell_h = geo.shift_x(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"),
-                               org_ell_h + params.astig_h)
-    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax3[2], -spec.theta1_h,
-                                            jnp.zeros(3))
+    coeffs_ell_h = P.shift_x(P.lift(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy")),
+                             org_ell_h + params.astig_h)
+    coeffs_ell_h, R = P.rotate_about_axis(coeffs_ell_h, ax3[2], -spec.theta1_h,
+                                          jnp.zeros(3))
     ax3 = (R @ ax3.T).T
-    center_ell_h, _, okb3 = geo.intersect(coeffs_ell_h, bufreflect2, center_ell_v)
-    coeffs_ell_h, R = geo.rotate_about_axis(coeffs_ell_h, ax3[1], omega_v,
-                                            mean_center_ell_v)
+    center_ell_h, _, okb3 = geo.intersect(P.f64(coeffs_ell_h), bufreflect2,
+                                          center_ell_v)
+    coeffs_ell_h, R = P.rotate_about_axis(coeffs_ell_h, ax3[1], omega_v,
+                                          mean_center_ell_v)
     ax3 = (R @ ax3.T).T
-    center_ell_h, _, okb3b = geo.intersect(coeffs_ell_h, bufreflect2, center_ell_v)
-    bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(coeffs_ell_h, center_ell_h))
+    center_ell_h, _, okb3b = geo.intersect(P.f64(coeffs_ell_h), bufreflect2,
+                                           center_ell_v)
+    bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(P.f64(coeffs_ell_h),
+                                                              center_ell_h))
 
     # --- mirror 4: hyp_H (reference :2364-2392) ---
     ax4 = jnp.eye(3, dtype=f64)
-    coeffs_hyp_h = geo.shift_x(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"),
-                               -org_hyp_h + 2 * org_ell_h + params.astig_h)
-    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax4[2], -spec.theta1_h,
-                                            jnp.zeros(3))
+    coeffs_hyp_h = P.shift_x(P.lift(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy")),
+                             -org_hyp_h + 2 * org_ell_h + params.astig_h)
+    coeffs_hyp_h, R = P.rotate_about_axis(coeffs_hyp_h, ax4[2], -spec.theta1_h,
+                                          jnp.zeros(3))
     ax4 = (R @ ax4.T).T
-    center_hyp_h, _, okb4 = geo.intersect(coeffs_hyp_h, bufreflect3, center_ell_h,
-                                          branch=-1)
-    coeffs_hyp_h, R = geo.rotate_about_axis(coeffs_hyp_h, ax4[1], omega_v,
-                                            mean_center_ell_v)
+    center_hyp_h, _, okb4 = geo.intersect(P.f64(coeffs_hyp_h), bufreflect3,
+                                          center_ell_h, branch=-1)
+    coeffs_hyp_h, R = P.rotate_about_axis(coeffs_hyp_h, ax4[1], omega_v,
+                                          mean_center_ell_v)
     ax4 = (R @ ax4.T).T
-    center_hyp_h, _, okb4b = geo.intersect(coeffs_hyp_h, bufreflect3, center_ell_h,
-                                           branch=-1)
+    center_hyp_h, _, okb4b = geo.intersect(P.f64(coeffs_hyp_h), bufreflect3,
+                                           center_ell_h, branch=-1)
 
     # --- geometry sanity (reference np.inf early-returns :2418-2426) ---
     no_conflict = (
@@ -297,9 +383,33 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     mean_c4 = jnp.mean(center_hyp_h[:, 1:], axis=1)
 
     def rot(coeffs, axis, theta, center):
-        return geo.rotate_about_axis(coeffs, axis, theta, center)[0]
+        return P.rotate_about_axis(coeffs, axis, theta, center)[0]
 
-    if unit_coupled:
+    if unit_coupled == "h":
+        # III_I semantics: H pair unit-coupled about the H-unit center
+        # (pitch, yaw, roll on each mirror's local axes,
+        # AKB_raytrace_III_I_20250710.py:1351-1364), V mirrors independent
+        # (:1381-1394).  Decenters stay per-mirror local-axis shifts.
+        center_wolter_h = (mean_c3 + mean_c4) / 2
+        p3, r3, y3 = params.ell_h[0], params.ell_h[1], params.ell_h[2]
+        p4, r4, y4 = params.hyp_h[0], params.hyp_h[1], params.hyp_h[2]
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[1], p3, center_wolter_h)
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[2], y3, center_wolter_h)
+        coeffs_ell_h = rot(coeffs_ell_h, ax3[0], r3, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[1], p4, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[2], y4, center_wolter_h)
+        coeffs_hyp_h = rot(coeffs_hyp_h, ax4[0], r4, center_wolter_h)
+        t3 = (params.ell_h[3] * ax3[0] + params.ell_h[4] * ax3[1]
+              + params.ell_h[5] * ax3[2])
+        coeffs_ell_h = P.shift(coeffs_ell_h, t3)
+        t4 = (params.hyp_h[3] * ax4[0] + params.hyp_h[4] * ax4[1]
+              + params.hyp_h[5] * ax4[2])
+        coeffs_hyp_h = P.shift(coeffs_hyp_h, t4)
+        coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v,
+                                          mean_c1, P)
+        coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v,
+                                          mean_c2, P)
+    elif unit_coupled:
         # Wolter-unit coupling (reference option_set, :2459-2518):
         # H mirrors rotate together about the H-unit center; the V hyperbola
         # drives the V unit, with ell_v getting relative corrections.
@@ -332,18 +442,22 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
                                        ("ell_h", ax3, params.ell_h)):
             t = six[3] * axes[0] + six[4] * axes[1] + six[5] * axes[2]
             if coeffs_name == "hyp_v":
-                coeffs_hyp_v = geo.shift(coeffs_hyp_v, t)
+                coeffs_hyp_v = P.shift(coeffs_hyp_v, t)
             elif coeffs_name == "hyp_h":
-                coeffs_hyp_h = geo.shift(coeffs_hyp_h, t)
+                coeffs_hyp_h = P.shift(coeffs_hyp_h, t)
             elif coeffs_name == "ell_v":
-                coeffs_ell_v = geo.shift(coeffs_ell_v, t)
+                coeffs_ell_v = P.shift(coeffs_ell_v, t)
             else:
-                coeffs_ell_h = geo.shift(coeffs_ell_h, t)
+                coeffs_ell_h = P.shift(coeffs_ell_h, t)
     else:
-        coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v, mean_c1)
-        coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v, mean_c2)
-        coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax3, params.ell_h, mean_c3)
-        coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax4, params.hyp_h, mean_c4)
+        coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v,
+                                          mean_c1, P)
+        coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v,
+                                          mean_c2, P)
+        coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax3, params.ell_h,
+                                          mean_c3, P)
+        coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax4, params.hyp_h,
+                                          mean_c4, P)
 
     # --- detector geometry (reference :2396-2403) ---
     s2f_H = -2 * org_hyp_h + 2 * org_ell_h
@@ -351,20 +465,22 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     s2f_middle = (s2f_H + s2f_V) / 2
 
     # --- source-fan angle ranges (reference :2694-2704) ---
-    fan_h = jnp.stack([
-        tg.arctan((y1_h - src_shift[1]) / (x1_h - src_shift[0])) - spec.theta1_h,
-        tg.arctan((y2_h - src_shift[1]) / (x2_h - src_shift[0])) - spec.theta1_h,
-    ])
-    fan_v = jnp.stack([
-        tg.arctan((y1_v - src_shift[2]) / (x1_v - src_shift[0])) - spec.theta1_v,
-        tg.arctan((y2_v - src_shift[2]) / (x2_v - src_shift[0])) - spec.theta1_v,
-    ])
+    a1_h = tg.arctan((y1_h - src_shift[1]) / (x1_h - src_shift[0]))
+    a2_h = tg.arctan((y2_h - src_shift[1]) / (x2_h - src_shift[0]))
+    a1_v = tg.arctan((y1_v - src_shift[2]) / (x1_v - src_shift[0]))
+    a2_v = tg.arctan((y2_v - src_shift[2]) / (x2_v - src_shift[0]))
+    if fan_centering == "mean":
+        off_h, off_v = (a1_h + a2_h) / 2, (a1_v + a2_v) / 2
+    else:
+        off_h, off_v = spec.theta1_h, spec.theta1_v
+    fan_h = jnp.stack([a1_h - off_h, a2_h - off_h])
+    fan_v = jnp.stack([a1_v - off_v, a2_v - off_v])
 
     mirrors = (
-        make_mirror(coeffs_hyp_v, +1.0, mean_c1, ax1),
-        make_mirror(coeffs_ell_v, +1.0, mean_c2, ax2),
-        make_mirror(coeffs_ell_h, +1.0, mean_c3, ax3),
-        make_mirror(coeffs_hyp_h, -1.0, mean_c4, ax4),
+        make_mirror(P.f64(coeffs_hyp_v), +1.0, mean_c1, ax1),
+        make_mirror(P.f64(coeffs_ell_v), +1.0, mean_c2, ax2),
+        make_mirror(P.f64(coeffs_ell_h), +1.0, mean_c3, ax3),
+        make_mirror(P.f64(coeffs_hyp_h), -1.0, mean_c4, ax4),
     )
     return OpticalSystem(mirrors, jnp.asarray(s2f_middle, dtype=f64),
                          fan_h, fan_v, src_shift, valid)

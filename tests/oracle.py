@@ -86,6 +86,40 @@ def load_akb_engine(variant: str = "wolter_3_1"):
     return mod
 
 
+def load_iii_i_engine():
+    """Import the mpmath-native III_I engine as a 20-digit oracle.
+
+    ``AKB_raytrace_III_I_20250710.py`` is the reference's cleaned
+    Wolter III (V) + Wolter I (H) engine, traced end-to-end in mpmath at
+    ``mp.dps = 20`` (:15-16) with the Setting12/Setting11 constants
+    (:952-1000) — the same design data as our ``WOLTER_3_1_DEFAULT``.
+    Its ``plot_result_debug(params, 'wave')`` runs the full placement +
+    exit-pupil-uniform re-fan + tilt rotation and returns every surface
+    grid, detector intersections and unit segment vectors as mpmath
+    matrices (:1830-1832) — the highest-precision trace oracle the
+    reference provides.
+
+    The fan size is the module globals ``wave_num_H/V`` (default 129);
+    override them on the returned module before calling.
+    """
+    key = "iii_i"
+    if key in _cache:
+        return _cache[key]
+    _stub_modules()
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    cwd = os.getcwd()
+    tmp = tempfile.mkdtemp(prefix="akb_oracle_iii_i_")
+    try:
+        os.chdir(tmp)
+        import AKB_raytrace_III_I_20250710 as mod
+    finally:
+        os.chdir(cwd)
+    _cache[key] = mod
+    return mod
+
+
 @contextlib.contextmanager
 def in_scratch_dir():
     cwd = os.getcwd()
