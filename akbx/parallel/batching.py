@@ -112,15 +112,18 @@ def trace_streamed(system, n_h: int, n_v: int, defocus,
 
     step = jax.jit(functools.partial(_block_stats, ray_sharding=sharding))
 
-    lo, hi = system.fan_v[0], system.fan_v[1]
+    # Row angles must be BIT-identical to the unstreamed fan: the grazing
+    # 4-bounce trace amplifies a 1-ulp angle difference by ~1e8 (the same
+    # conditioning that forced the reference onto mpmath), so recomputing
+    # linspace per block with a different op order shows up as ~1e-8
+    # relative detector error.  Slice the one linspace instead.
+    angles_v_full = tr.fan_angles(system.fan_v, n_v)
     stats = SpotStats.zero()
     n_blocks = -(n_v // -block_rows)
     for b in range(n_blocks):
         r0 = b * block_rows
         r1 = min(n_v, r0 + block_rows)
-        # global row indices -> exact same angles as the unstreamed fan
-        idx = jnp.arange(r0, r1)
-        angles_v = lo + (hi - lo) * idx / jnp.maximum(n_v - 1, 1)
+        angles_v = angles_v_full[r0:r1]
         if r1 - r0 < block_rows:  # pad the tail block to keep one jit cache
             pad = block_rows - (r1 - r0)
             angles_v = jnp.pad(angles_v, (0, pad), constant_values=jnp.nan)
