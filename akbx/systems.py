@@ -61,6 +61,18 @@ class _PlacementOps:
     def f64(self, coeffs):
         return qdf.coeffs_f64(coeffs)
 
+    def stack(self, qs):
+        """Stack per-mirror coefficient sets along a new leading axis."""
+        if self.precise:
+            return qdf.QDF(jnp.stack([q.hi for q in qs]),
+                           jnp.stack([q.lo for q in qs]))
+        return jnp.stack(qs)
+
+    def unstack(self, qs, n):
+        if self.precise:
+            return [qdf.QDF(qs.hi[i], qs.lo[i]) for i in range(n)]
+        return [qs[i] for i in range(n)]
+
     def shift(self, coeffs, t):
         if self.bug_compat:
             return qdf.ref_shift_buggy(coeffs, t)
@@ -282,14 +294,15 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     if precise:
         # the f64 angle chain carries ~3e-9 rad of cancellation error,
         # which dominates the H-pair coefficient accuracy (quadric_df
-        # docstring; tests/test_iii_i_parity.py)
-        from akbx.core.precision import df_add as _dfa
-        *_, t5_v1_df = qdf.wolter_iii_angles_df(
-            spec.a_hyp_v, spec.b_hyp_v, spec.a_ell_v, spec.b_ell_v, th_v1)
-        *_, t5_v2_df = qdf.wolter_iii_angles_df(
-            spec.a_hyp_v, spec.b_hyp_v, spec.a_ell_v, spec.b_ell_v, th_v2)
-        om = _dfa(t5_v1_df, t5_v2_df)
-        omega_v = (om.hi + om.lo + th_v1 + th_v2) / 2
+        # docstring; tests/test_iii_i_parity.py).  Both edge angles run
+        # under one vmap (one copy of the DF chain in the HLO).
+        import jax as _jx
+        *_, t5_df = _jx.vmap(lambda th: qdf.wolter_iii_angles_df(
+            spec.a_hyp_v, spec.b_hyp_v, spec.a_ell_v, spec.b_ell_v, th))(
+            jnp.stack([th_v1, th_v2]))
+        om_hi = t5_df.hi[0] + t5_df.hi[1]
+        om_lo = t5_df.lo[0] + t5_df.lo[1]
+        omega_v = (om_hi + om_lo + th_v1 + th_v2) / 2
     else:
         *_, t5_v1, _, _, _, _ = design.wolter_iii_angles(
             spec.a_hyp_v, spec.b_hyp_v, org_hyp_v, spec.a_ell_v, spec.b_ell_v,
@@ -299,13 +312,48 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
             org_ell_v, th_v2)
         omega_v = (t5_v1 + t5_v2 + th_v1 + th_v2) / 2
 
-    # --- mirror 1: hyp_V (reference :1976-1989) ---
-    ax1 = jnp.eye(3, dtype=f64)
-    coeffs_hyp_v = P.shift_x(P.lift(hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz")),
-                             org_hyp_v)
-    coeffs_hyp_v, R = P.rotate_about_axis(coeffs_hyp_v, ax1[1], spec.theta1_v,
-                                          jnp.zeros(3))
-    ax1 = (R @ ax1.T).T
+    # --- mirrors 1-4: base placement, ONE vmapped chain (ref :1976-2392) ---
+    # The four per-mirror setups (canonical conic -> axial shift -> first
+    # rotation) are the same program on different data, so they run under
+    # one vmap: the DF congruence graph appears once in the jitted HLO
+    # instead of four times (compile-time attack, VERDICT r2 #5).  The
+    # math and per-mirror op order are identical to the unrolled form.
+    import jax as _jax
+
+    eye3 = jnp.eye(3, dtype=f64)
+    astig = jnp.asarray(params.astig_h, dtype=f64)
+    base_q = jnp.stack([
+        hyperbola_coeffs(spec.a_hyp_v, spec.b_hyp_v, "xz"),
+        ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz"),
+        ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy"),
+        hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy"),
+    ])
+    base_s = jnp.stack([
+        jnp.asarray(org_hyp_v, dtype=f64),
+        jnp.asarray(2 * org_hyp_v + org_ell_v, dtype=f64),
+        org_ell_h + astig,
+        -org_hyp_h + 2 * org_ell_h + astig,
+    ])
+    base_axis = jnp.stack([eye3[1], eye3[1], eye3[2], eye3[2]])
+    base_theta = jnp.stack([
+        jnp.asarray(spec.theta1_v, dtype=f64),
+        jnp.asarray(spec.theta1_v, dtype=f64),
+        jnp.asarray(-spec.theta1_h, dtype=f64),
+        jnp.asarray(-spec.theta1_h, dtype=f64),
+    ])
+
+    def _base_place(q, s, axis, theta):
+        q = P.shift_x(P.lift(q), s)
+        return P.rotate_about_axis(q, axis, theta, jnp.zeros(3, dtype=f64))
+
+    q_base, R_base = _jax.vmap(_base_place)(base_q, base_s, base_axis,
+                                            base_theta)
+    coeffs_hyp_v, coeffs_ell_v, coeffs_ell_h_pre, coeffs_hyp_h_pre = \
+        P.unstack(q_base, 4)
+    ax1 = (R_base[0] @ eye3.T).T
+    ax2 = (R_base[1] @ eye3.T).T
+    ax3 = (R_base[2] @ eye3.T).T
+    ax4 = (R_base[3] @ eye3.T).T
 
     # --- chief-ray pre-trace (reference :2144-2257) ---
     theta_cntr_v = (th_v1 + th_v2) / 2
@@ -321,13 +369,6 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     bufreflect1 = geo.reflect(bufray, geo.surface_normal(P.f64(coeffs_hyp_v),
                                                          center_hyp_v))
 
-    # --- mirror 2: ell_V (reference :2272-2296) ---
-    ax2 = jnp.eye(3, dtype=f64)
-    coeffs_ell_v = P.shift_x(P.lift(ellipse_coeffs(spec.a_ell_v, spec.b_ell_v, "xz")),
-                             2 * org_hyp_v + org_ell_v)
-    coeffs_ell_v, R = P.rotate_about_axis(coeffs_ell_v, ax2[1], spec.theta1_v,
-                                          jnp.zeros(3))
-    ax2 = (R @ ax2.T).T
     center_ell_v, _, okb2 = geo.intersect(P.f64(coeffs_ell_v), bufreflect1,
                                           center_hyp_v)
     bufreflect2 = geo.reflect(bufreflect1, geo.surface_normal(P.f64(coeffs_ell_v),
@@ -335,35 +376,30 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
 
     mean_center_ell_v = jnp.mean(center_ell_v[:, 1:], axis=1)
 
-    # --- mirror 3: ell_H (reference :2323-2352) ---
-    ax3 = jnp.eye(3, dtype=f64)
-    coeffs_ell_h = P.shift_x(P.lift(ellipse_coeffs(spec.a_ell_h, spec.b_ell_h, "xy")),
-                             org_ell_h + params.astig_h)
-    coeffs_ell_h, R = P.rotate_about_axis(coeffs_ell_h, ax3[2], -spec.theta1_h,
-                                          jnp.zeros(3))
-    ax3 = (R @ ax3.T).T
-    center_ell_h, _, okb3 = geo.intersect(P.f64(coeffs_ell_h), bufreflect2,
+    # --- H pair: pre-omega intersect of ell_H (reference :2323-2346) ---
+    center_ell_h, _, okb3 = geo.intersect(P.f64(coeffs_ell_h_pre), bufreflect2,
                                           center_ell_v)
-    coeffs_ell_h, R = P.rotate_about_axis(coeffs_ell_h, ax3[1], omega_v,
-                                          mean_center_ell_v)
-    ax3 = (R @ ax3.T).T
+
+    # --- batched in-plane omega rotation of the H pair (ref :2347, :2380) ---
+    def _rot_omega(q, axis):
+        return P.rotate_about_axis(q, axis, omega_v, mean_center_ell_v)
+
+    q_h, R_h = _jax.vmap(_rot_omega)(
+        P.stack([coeffs_ell_h_pre, coeffs_hyp_h_pre]),
+        jnp.stack([ax3[1], ax4[1]]))
+    coeffs_ell_h, coeffs_hyp_h = P.unstack(q_h, 2)
+    ax3 = (R_h[0] @ ax3.T).T
+    ax4 = (R_h[1] @ ax4.T).T
+
     center_ell_h, _, okb3b = geo.intersect(P.f64(coeffs_ell_h), bufreflect2,
                                            center_ell_v)
     bufreflect3 = geo.reflect(bufreflect2, geo.surface_normal(P.f64(coeffs_ell_h),
                                                               center_ell_h))
 
-    # --- mirror 4: hyp_H (reference :2364-2392) ---
-    ax4 = jnp.eye(3, dtype=f64)
-    coeffs_hyp_h = P.shift_x(P.lift(hyperbola_coeffs(spec.a_hyp_h, spec.b_hyp_h, "xy")),
-                             -org_hyp_h + 2 * org_ell_h + params.astig_h)
-    coeffs_hyp_h, R = P.rotate_about_axis(coeffs_hyp_h, ax4[2], -spec.theta1_h,
-                                          jnp.zeros(3))
-    ax4 = (R @ ax4.T).T
-    center_hyp_h, _, okb4 = geo.intersect(P.f64(coeffs_hyp_h), bufreflect3,
+    # --- mirror 4 intersects: pre-omega (okb4) then placed (reference
+    #     :2364-2392; hyp_H uses the negative root branch) ---
+    center_hyp_h, _, okb4 = geo.intersect(P.f64(coeffs_hyp_h_pre), bufreflect3,
                                           center_ell_h, branch=-1)
-    coeffs_hyp_h, R = P.rotate_about_axis(coeffs_hyp_h, ax4[1], omega_v,
-                                          mean_center_ell_v)
-    ax4 = (R @ ax4.T).T
     center_hyp_h, _, okb4b = geo.intersect(P.f64(coeffs_hyp_h), bufreflect3,
                                            center_ell_h, branch=-1)
 
@@ -450,14 +486,18 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
             else:
                 coeffs_ell_h = P.shift(coeffs_ell_h, t)
     else:
-        coeffs_hyp_v = _apply_align_local(coeffs_hyp_v, ax1, params.hyp_v,
-                                          mean_c1, P)
-        coeffs_ell_v = _apply_align_local(coeffs_ell_v, ax2, params.ell_v,
-                                          mean_c2, P)
-        coeffs_ell_h = _apply_align_local(coeffs_ell_h, ax3, params.ell_h,
-                                          mean_c3, P)
-        coeffs_hyp_h = _apply_align_local(coeffs_hyp_h, ax4, params.hyp_h,
-                                          mean_c4, P)
+        # independent per-mirror misalignment: four identical local-axis
+        # chains -> one vmap (same compile-time attack as the base
+        # placement above; per-mirror math unchanged)
+        q_mis = _jax.vmap(
+            lambda q, a, s, c: _apply_align_local(q, a, s, c, P))(
+            P.stack([coeffs_hyp_v, coeffs_ell_v, coeffs_ell_h, coeffs_hyp_h]),
+            jnp.stack([ax1, ax2, ax3, ax4]),
+            jnp.stack([params.hyp_v, params.ell_v, params.ell_h,
+                       params.hyp_h]),
+            jnp.stack([mean_c1, mean_c2, mean_c3, mean_c4]))
+        coeffs_hyp_v, coeffs_ell_v, coeffs_ell_h, coeffs_hyp_h = \
+            P.unstack(q_mis, 4)
 
     # --- detector geometry (reference :2396-2403) ---
     s2f_H = -2 * org_hyp_h + 2 * org_ell_h

@@ -1,20 +1,35 @@
 #!/usr/bin/env python
 """Benchmark: rays/s/chip forward+backward through the AKB 4-mirror system.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target (BASELINE.md): 1e8 rays/s/chip fwd+bwd.
 
-Runs the measurement in a subprocess with a watchdog so a wedged TPU
-tunnel degrades to the CPU backend instead of hanging the driver.
-Secondary metrics go to stderr.
+Hardened for the single easily-wedged TPU tunnel (VERDICT r2 #1a):
+* inherited XLA_FLAGS are stripped for the TPU attempts (round 2's crash
+  carried conflicting --xla_tpu_use_enhanced_launch_barrier flags) and the
+  inherited value is logged in the detail artifact;
+* a small warm-up probe validates tunnel health and populates the
+  persistent compile cache before the 512^2 runs;
+* every attempt (cmd, env, rc, full stderr) is recorded in
+  BENCH_DETAIL.json next to this script — a truthful failure record
+  instead of a 200-char rich-rendered tail;
+* both precisions are measured: f64 (primary metric, comparable with
+  rounds 1-2) and df32 (the deviation-trace TPU fast path, README claim).
+
+Runs each measurement in a subprocess with a watchdog so a wedged TPU
+degrades to the CPU backend instead of hanging the driver.  TPU runs are
+strictly sequential — only one process may hold the tunnel.
 """
 
 import json
 import os
+import re
 import subprocess
 import sys
 
 BASELINE_RAYS_PER_S = 1e8
+REPO = os.path.dirname(os.path.abspath(__file__))
+DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 
 WORKER = r"""
 import json, os, sys, time
@@ -36,12 +51,14 @@ from akbx import trace
 from akbx.systems import AlignParams, WOLTER_3_1_DEFAULT, build_wolter_3_1
 
 n_h = n_v = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+precision = sys.argv[2] if len(sys.argv) > 2 else "f64"
 n_rays = n_h * n_v
 
 def loss(vec):
     system = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.from_vector(vec))
     res = trace.run(system, n_h, n_v, defocus=vec[0],
-                    exit_pupil_uniform=False, tilt_correction=True)
+                    exit_pupil_uniform=False, tilt_correction=True,
+                    precision=precision)
     w = res.total_dist - trace.masked_mean(res.total_dist, res.valid)
     sy, sz = trace.spot_size(res.detcenter, res.valid)
     return jnp.sum(jnp.where(res.valid, w, 0.0) ** 2) * 1e18 + sy + sz
@@ -74,64 +91,143 @@ while True:
         break
 dt = (time.time() - t0) / n_iter
 
-rays_per_s = n_rays / dt
+dev = jax.devices()[0]
 print(json.dumps({
     "backend": jax.default_backend(),
+    "device": getattr(dev, "device_kind", str(dev)),
+    "precision": precision,
     "n_rays": n_rays,
     "compile_s": compile_s,
     "step_s": dt,
-    "rays_per_s": rays_per_s,
+    "rays_per_s": n_rays / dt,
     "loss": float(val),
 }))
 """
 
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
 
-def run_worker(env_extra, n=256, timeout=900):
+attempts = []  # full record of every subprocess attempt
+
+
+def run_worker(tag, env_overrides, n, precision, timeout):
     env = dict(os.environ)
-    env.update(env_extra)
+    env.update(env_overrides)
+    cmd = [sys.executable, "-c", WORKER % {"repo": REPO}, str(n), precision]
+    rec = {"tag": tag, "n": n, "precision": precision, "timeout_s": timeout,
+           "env_overrides": env_overrides,
+           "inherited_xla_flags": os.environ.get("XLA_FLAGS", "")}
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", WORKER % {"repo": os.path.dirname(os.path.abspath(__file__))},
-             str(n)],
-            capture_output=True, text=True, timeout=timeout, env=env)
-    except subprocess.TimeoutExpired:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, env=env)
+    except subprocess.TimeoutExpired as e:
+        rec.update(rc="timeout",
+                   stderr=_ANSI.sub("", (e.stderr or b"").decode("utf-8", "replace")
+                                    if isinstance(e.stderr, bytes)
+                                    else (e.stderr or "")))
+        attempts.append(rec)
         return None, "timeout"
+    rec["rc"] = proc.returncode
+    rec["stderr"] = _ANSI.sub("", proc.stderr)[-20000:]
     if proc.returncode != 0:
-        return None, proc.stderr[-2000:]
+        attempts.append(rec)
+        return None, f"rc={proc.returncode}"
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line), None
+            result = json.loads(line)
+            rec["result"] = result
+            attempts.append(rec)
+            return result, None
         except json.JSONDecodeError:
             continue
-    return None, "no json in output:\n" + proc.stdout[-500:]
+    rec["stdout_tail"] = proc.stdout[-2000:]
+    attempts.append(rec)
+    return None, "no json in output"
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr)
+
+
+def write_detail(summary):
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump({"summary": summary, "attempts": attempts}, fh, indent=1)
+    except OSError as e:
+        log(f"could not write {DETAIL_PATH}: {e}")
 
 
 def main():
-    # try the TPU first (default env), fall back to pure CPU
-    tpu_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "2400"))
-    result, err = run_worker({}, n=512, timeout=tpu_timeout)
-    if result is None:
-        print(f"[bench] TPU attempt failed ({err[:200] if err else ''}); "
-              "falling back to CPU", file=sys.stderr)
-        repo = os.path.dirname(os.path.abspath(__file__))
-        result, err = run_worker(
-            {"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"}, n=128, timeout=1500)
-    if result is None:
-        print(f"[bench] CPU fallback also failed: {err}", file=sys.stderr)
-        print(json.dumps({"metric": "akb_rays_per_s_fwd_bwd", "value": 0.0,
-                          "unit": "rays/s/chip", "vs_baseline": 0.0}))
+    # TPU attempts run with inherited XLA_FLAGS STRIPPED: round 2's TPU
+    # crash traced to conflicting inherited launch-barrier flags.  The
+    # stripped value is preserved in BENCH_DETAIL.json.
+    tpu_env = {"XLA_FLAGS": ""}
+    cpu_env = {"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": ""}
+    probe_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "600"))
+    main_timeout = int(os.environ.get("BENCH_TPU_MAIN_TIMEOUT", "1500"))
+
+    f64 = df32 = None
+    tpu_ok = False
+    for attempt in (1, 2):
+        probe, err = run_worker(f"tpu-probe-{attempt}", tpu_env, 128, "f64",
+                                probe_timeout)
+        if probe is not None and probe.get("backend") in ("tpu", "axon"):
+            tpu_ok = True
+            log(f"probe ok: backend={probe['backend']} device={probe['device']} "
+                f"compile={probe['compile_s']:.1f}s "
+                f"rays/s={probe['rays_per_s']:.3e}")
+            break
+        log(f"TPU probe attempt {attempt} failed: {err}")
+
+    if tpu_ok:
+        for attempt in (1, 2):
+            f64, err = run_worker(f"tpu-f64-{attempt}", tpu_env, 512, "f64",
+                                  main_timeout)
+            if f64 is not None:
+                break
+            log(f"TPU f64 512^2 attempt {attempt} failed: {err}")
+        if f64 is not None:
+            df32, err = run_worker("tpu-df32", tpu_env, 512, "df32",
+                                   main_timeout)
+            if df32 is None:
+                log(f"TPU df32 run failed: {err}")
+
+    if f64 is None:
+        log("falling back to CPU")
+        f64, err = run_worker("cpu-f64", cpu_env, 128, "f64", 1500)
+        if f64 is not None:
+            df32, _ = run_worker("cpu-df32", cpu_env, 128, "df32", 1500)
+
+    if f64 is None:
+        log(f"CPU fallback also failed: {err}")
+        out = {"metric": "akb_rays_per_s_fwd_bwd", "value": 0.0,
+               "unit": "rays/s/chip", "vs_baseline": 0.0, "backend": "none"}
+        write_detail(out)
+        print(json.dumps(out))
         return 1
 
-    print(f"[bench] backend={result['backend']} n_rays={result['n_rays']} "
-          f"compile={result['compile_s']:.1f}s step={result['step_s']*1e3:.2f}ms "
-          f"loss={result['loss']:.3e}", file=sys.stderr)
-    value = result["rays_per_s"]
-    print(json.dumps({
+    log(f"backend={f64['backend']} n_rays={f64['n_rays']} "
+        f"compile={f64['compile_s']:.1f}s step={f64['step_s']*1e3:.2f}ms "
+        f"loss={f64['loss']:.3e}")
+    if df32 is not None:
+        log(f"df32: step={df32['step_s']*1e3:.2f}ms "
+            f"rays/s={df32['rays_per_s']:.3e} "
+            f"speedup_vs_f64={df32['rays_per_s']/f64['rays_per_s']:.2f}x")
+    value = f64["rays_per_s"]
+    out = {
         "metric": "akb_rays_per_s_fwd_bwd",
         "value": value,
         "unit": "rays/s/chip",
         "vs_baseline": value / BASELINE_RAYS_PER_S,
-    }))
+        "backend": f64["backend"],
+        "device": f64.get("device"),
+        "n_rays": f64["n_rays"],
+        "compile_s": round(f64["compile_s"], 1),
+        "df32_rays_per_s": df32["rays_per_s"] if df32 else None,
+        "df32_compile_s": round(df32["compile_s"], 1) if df32 else None,
+    }
+    write_detail(out)
+    print(json.dumps(out))
     return 0
 
 

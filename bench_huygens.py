@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_huygens_r02.json")
+                        os.environ.get("HUYGENS_ARTIFACT",
+                                       "BENCH_huygens_r03.json"))
 
 
 def make_problem(n_src: int, n_tgt: int, seed: int = 0):
