@@ -4,11 +4,14 @@ Why this exists: placing a mirror means evaluating congruence polynomials
 in offsets of ~73-146 m on coefficients of ~1e4-1e8, plus a Wolter layout
 angle chain whose ``a^2 + org^2 - 2 a org cos(theta)`` numerators cancel
 ~8 digits (``org - a ~ b^2/2a ~ 5e-4`` on 73 m conics).  Measured against
-the reference's 20-digit mpmath engine (``AKB_raytrace_III_I_20250710.py``,
-tests/test_iii_i_parity.py), the f64 chain leaves a ~3e-9 rad error in the
-in-plane rotation omega_V and a ~5 nm systematic wavefront error.  The
-*rounded-to-f64* placed coefficients are perfectly adequate; it is the f64
-*computation* of them that is not.
+a 40-digit mpmath evaluation of the same chain
+(tests/test_iii_i_parity.py::TestWolterIIIAnglesDF), the f64 chain leaves
+1e-9..3e-8 rad of error in theta2..theta5 (hence in the in-plane rotation
+omega_V); the DF chain is exact to ~1e-19 rad.  At the full-engine level
+the f64 placement costs ~0.7 nm of wavefront vs the reference's 20-digit
+mpmath trace (TestIIIIEngineParity — for comparison, the reference's own
+shift_z bug costs it ~23 nm).  The *rounded-to-f64* placed coefficients
+are perfectly adequate; it is the f64 *computation* of them that is not.
 
 So the placement chain runs in double-word f64 (~32 digits, built on the
 contraction-immune EFTs of :mod:`akbx.core.precision`) and rounds once at
@@ -167,7 +170,7 @@ def rotate_about_axis(q: QDF, axis, theta, center):
 # Inputs here are placement-time scalars with |x| < pi/4 (grazing optics:
 # every layout angle is 0..0.35 rad), so Taylor series converge to the
 # full ~32 digits in <= 13 terms.  These exist because f64 libm sin/cos
-# carry ~1 ulp error that the angle chain amplifies to ~3e-9 rad in omega.
+# carry ~1 ulp error that the angle chain amplifies to ~1e-8 rad in omega.
 
 _N_TERMS = 13
 
@@ -232,7 +235,8 @@ def ref_shift_z_buggy(coeffs, s):
     102-108).  Every reference rotation about a center with z != 0 runs
     through this, so the placed H mirrors inherit a wrong linear-y term
     (~2e-2 absolute on the hyp_H ``h`` after the 0.24 rad omega rotation,
-    -> ~5 nm wavefront).  Our default placement is correct; this exists so
+    -> ~23 nm wavefront, measured in tests/test_iii_i_parity.py).  Our
+    default placement is correct; this exists so
     parity tests can reproduce the reference bit-for-bit (bug and all)."""
     a, b, c, d, e, f, g, h, i, j = [coeffs[k] for k in range(10)]
     g = g - e * s
@@ -270,7 +274,7 @@ def wolter_iii_angles_df(a_hyp, b_hyp, a_ell, b_ell, theta1):
     mpmath form AKB_raytrace_III_I_20250710.py:1116-1133), but immune to its
     f64 failure mode: the ``a^2 + org^2 - 2 a org cos(theta)`` numerators
     cancel down to ~(org-a)^2 ~ (b^2/2a)^2 — 8 lost digits on 73 m conics —
-    which leaves ~3e-9 rad of error in theta5 and hence in the in-plane
+    which leaves ~3e-8 rad of error in theta5 and hence in the in-plane
     placement rotation omega_V (measured vs the mpmath engine).
 
     The conic origins are recomputed here in DF from (a, b) so the

@@ -262,7 +262,7 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     ``precise`` runs the coefficient placement chain in double-f64
     (:mod:`akbx.core.quadric_df`): the layout angle chain's
     ``a^2+org^2-2*a*org*cos`` cancellation costs the in-plane rotation
-    omega_V ~3e-9 rad in f64 (~2e-9 relative H coefficients); the DF chain
+    omega_V up to ~3e-8 rad in f64; the DF chain
     matches the reference's 20-digit mpmath engine to ~3e-17 rad
     (tests/test_iii_i_parity.py).  Rounded to f64 once at the end.
 
@@ -292,7 +292,7 @@ def build_wolter_3_1(spec: AKBSpec, params: AlignParams,
     th_v1 = tg.arctan(y1_v / x1_v)
     th_v2 = tg.arctan(y2_v / x2_v)
     if precise:
-        # the f64 angle chain carries ~3e-9 rad of cancellation error,
+        # the f64 angle chain carries up to ~3e-8 rad of cancellation error,
         # which dominates the H-pair coefficient accuracy (quadric_df
         # docstring; tests/test_iii_i_parity.py).  Both edge angles run
         # under one vmap (one copy of the DF chain in the HLO).

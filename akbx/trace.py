@@ -289,17 +289,34 @@ def detector_points(result: TraceResult, x_plane) -> jnp.ndarray:
                                result.exit_points)
 
 
-def tilt_correct(result: TraceResult, detcenter: jnp.ndarray):
+def tilt_correct(result: TraceResult, detcenter: jnp.ndarray,
+                 mode: str = "mean"):
     """Remove the mean exit-beam tilt (reference :3564-3601).
 
     Rotates exit rays and exit points about the approximate focus so the
     beam axis is +x.  Returns (new_exit_rays, new_exit_points, theta_y,
     theta_z, focus_apprx).
+
+    ``mode`` selects the beam-axis estimator: ``"mean"`` is the main
+    engine's non-'ray' path (nanmean of arctan, AKB_raytrace_20250312.py:
+    3584-3589); ``"extremes"`` is the midpoint of the extreme ray angles,
+    which the III_I engine uses unconditionally
+    (AKB_raytrace_III_I_20250710.py:1837-1840) — on a distorted exit fan
+    the two differ by ~1e-3 rad, a first-order wavefront effect.
     """
     angle = result.exit_rays
     v = result.valid
-    theta_y = -masked_mean(jnp.arctan(angle[2] / angle[0]), v)
-    theta_z = masked_mean(jnp.arctan(angle[1] / angle[0]), v)
+    a_zx = jnp.arctan(angle[2] / angle[0])
+    a_yx = jnp.arctan(angle[1] / angle[0])
+    if mode == "extremes":
+        big = jnp.float64(jnp.inf)
+        theta_y = -0.5 * (jnp.min(jnp.where(v, a_zx, big))
+                          + jnp.max(jnp.where(v, a_zx, -big)))
+        theta_z = 0.5 * (jnp.min(jnp.where(v, a_yx, big))
+                         + jnp.max(jnp.where(v, a_yx, -big)))
+    else:
+        theta_y = -masked_mean(a_zx, v)
+        theta_z = masked_mean(a_yx, v)
     focus_apprx = masked_mean(detcenter, v[None, :], axis=1)
     rays2 = geo.rotate_vectors_yz(result.exit_rays, -theta_y, -theta_z)
     pts2 = geo.rotate_points_about(result.exit_points, focus_apprx,
@@ -327,7 +344,8 @@ class EngineResult(NamedTuple):
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
         defocus_wave=1e-3, exit_pupil_uniform: bool = True,
         tilt_correction: bool = True, ray_sharding=None,
-        uniform_stage: int = -1, precision: str = "f64") -> EngineResult:
+        uniform_stage: int = -1, precision: str = "f64",
+        tilt_mode: str = "mean") -> EngineResult:
     """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
     -> tilt removal -> detector planes -> OPL -> wavefront.
 
@@ -367,7 +385,8 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     detcenter = detector_points(result, det_x)
 
     if tilt_correction:
-        rays2, pts2, theta_y, theta_z, focus_apprx = tilt_correct(result, detcenter)
+        rays2, pts2, theta_y, theta_z, focus_apprx = tilt_correct(
+            result, detcenter, mode=tilt_mode)
         result = result._replace(
             points=result.points[:-1] + (pts2,),
             directions=result.directions[:-1] + (rays2,),

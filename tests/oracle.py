@@ -120,6 +120,58 @@ def load_iii_i_engine():
     return mod
 
 
+class _CaptureDone(Exception):
+    pass
+
+
+def run_iii_i_ray_wave(params, n: int):
+    """Run the III_I engine's 'ray_wave' path at an n x n fan and capture
+    (detcenter, detcenter2, DistError, DistError2).
+
+    The engine converts exactly these four arrays to numpy
+    (``mpmath_matrix_to_numpy`` call sites, AKB_raytrace_III_I_20250710.py:
+    1916-1919) right after the OPL sums — we wrap that function with a
+    recorder and abort once all four are captured, skipping the plotting /
+    griddata / Legendre tail (which needs scipy/cv2 state the stub image
+    lacks and contributes nothing to parity).  DistError is the engine's
+    wavefront signal ``(totalDist - mean(totalDist))*1e9`` [nm] (:1887).
+
+    mpmath matrices gain a ``shape`` property (the engine's own 'wave'
+    branch reads ``.shape`` on one, :1785 — a latent reference bug that
+    only 'wave' hits; harmless to patch process-wide).
+    """
+    import numpy as np
+    from mpmath import matrix, mpf
+
+    if not hasattr(matrix, "shape"):
+        matrix.shape = property(lambda self: (self.rows, self.cols))
+    mod = load_iii_i_engine()
+    mod.wave_num_H = mod.wave_num_V = n
+    real_conv = mod.mpmath_matrix_to_numpy
+    captured = []
+
+    def recorder(mat):
+        out = real_conv(mat)
+        captured.append(np.asarray(out, dtype=np.float64))
+        if len(captured) == 4:
+            raise _CaptureDone
+        return out
+
+    mod.mpmath_matrix_to_numpy = recorder
+    try:
+        with in_scratch_dir():
+            try:
+                mod.plot_result_debug([mpf(str(p)) for p in params],
+                                      "ray_wave")
+            except _CaptureDone:
+                pass
+    finally:
+        mod.mpmath_matrix_to_numpy = real_conv
+    assert len(captured) == 4, f"captured {len(captured)} arrays"
+    det, det2, dist_err, dist_err2 = captured
+    return det, det2, dist_err.ravel(), dist_err2.ravel()
+
+
 @contextlib.contextmanager
 def in_scratch_dir():
     cwd = os.getcwd()
