@@ -67,17 +67,28 @@ def _build_fn(args):
 
 
 def cmd_trace(args):
-    from akbx import align, io, trace, wavefront
+    from akbx import align, config, io, trace, wavefront
     from akbx.analysis import legendre, psf, rectify
     from akbx.tooling import write_sweep_artifacts
+
+    if getattr(args, "config", None):
+        cfg = config.load_config(args.config)
+        if cfg.n_rays_h != cfg.n_rays_v:
+            raise SystemExit("cli trace expects a square fan "
+                             f"(config has {cfg.n_rays_h}x{cfg.n_rays_v})")
+        args.rays = cfg.n_rays_h
+        args.wavelength = cfg.energy.wavelength_m
+        args.defocus_wave = cfg.defocus_for_wave
+    else:
+        cfg = config.TraceConfig(n_rays_h=args.rays, n_rays_v=args.rays,
+                                 defocus_for_wave=args.defocus_wave)
 
     build, params = _build_fn(args)
     if args.autofocus:
         params = align.auto_focus(build, params, n=min(args.rays, 21), iters=5)
     sys_ = build(params)
     n = args.rays
-    res = trace.run(sys_, n, n, defocus=params.defocus,
-                    defocus_wave=args.defocus_wave)
+    res = trace.run_config(sys_, cfg, defocus=params.defocus)
     mat, gy, gz = wavefront.wavefront_grid(res, n, n)
     lam_nm = args.wavelength * 1e9
 
@@ -130,8 +141,12 @@ def cmd_export_wave(args):
 def cmd_propagate(args):
     import jax.numpy as jnp
 
-    from akbx import io, wave
+    from akbx import config, io, wave
 
+    if getattr(args, "config", None):
+        wcfg = config.load_config(args.config)
+        args.wavelength = wcfg.wavelength_m
+        args.pallas = wcfg.use_pallas
     data = io.load_wave_data(args.data_dir)
     cond = data.get("conditions", {})
     wavelength = args.wavelength
@@ -373,6 +388,9 @@ def main(argv=None):
     _add_system_args(p)
     p.add_argument("--wavelength", type=float, default=13.5e-9)
     p.add_argument("--defocus-wave", type=float, default=1e-2)
+    p.add_argument("--config", type=str, default=None,
+                   help="TraceConfig JSON (akbx.config.save_config); "
+                        "overrides --rays/--wavelength/--defocus-wave")
     p.set_defaults(fn=cmd_trace)
 
     p = sub.add_parser("export-wave", help="ray->wave handoff directory")
@@ -388,6 +406,8 @@ def main(argv=None):
     p.add_argument("--cache", action="store_true", default=True)
     p.add_argument("--no-cache", dest="cache", action="store_false")
     p.add_argument("--pallas", action="store_true", default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="WaveConfig JSON (akbx.config.save_config)")
     p.set_defaults(fn=cmd_propagate)
 
     p = sub.add_parser("design-kb", help="KB design from 7 params")

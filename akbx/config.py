@@ -49,7 +49,12 @@ class WolterOrdering(str, enum.Enum):
 
 @dataclasses.dataclass(frozen=True)
 class TraceConfig:
-    """Static options of a trace run (shapes must be static under jit)."""
+    """Static options of a trace run (shapes must be static under jit).
+
+    This is the argument surface of :func:`akbx.trace.run` plus the system
+    choice — ``trace.run_config(system, cfg, ...)`` consumes it directly,
+    and ``akbx.cli trace --config file.json`` drives a whole run from it.
+    """
 
     n_rays_h: int = 53
     n_rays_v: int = 53
@@ -62,6 +67,14 @@ class TraceConfig:
     exit_pupil_uniform: bool = True
     # Remove the mean exit-beam tilt before the detector (reference :3564-3601).
     tilt_correction: bool = True
+    # Beam-axis estimator for the tilt removal: "mean" (main engine) or
+    # "extremes" (III_I engine; AKB_raytrace_III_I_20250710.py:1837-1840).
+    tilt_mode: str = "mean"
+    # Source-fan sampling: "uniform" linspace or "edge_dense" sigmoid ramp
+    # (reference create_non_uniform_distribution, :375-382).
+    fan_mode: str = "uniform"
+    # Trace arithmetic: "f64" or "df32" (double-f32 deviation trace).
+    precision: str = "f64"
 
     @property
     def n_rays(self) -> int:
@@ -77,3 +90,35 @@ class WaveConfig:
     target_tile: int = 256
     source_tile: int = 512
     use_pallas: bool = True
+
+
+def _asdict(cfg) -> dict:
+    d = dataclasses.asdict(cfg)
+    return {k: (v.value if isinstance(v, enum.Enum) else v)
+            for k, v in d.items()}
+
+
+def save_config(cfg, path: str) -> None:
+    """Serialize a TraceConfig/WaveConfig to JSON (the typed replacement
+    for the reference's calculation_conditions.txt / option_* globals)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump({"kind": type(cfg).__name__, **_asdict(cfg)}, fh, indent=1)
+
+
+def load_config(path: str):
+    """Load a config written by :func:`save_config` (kind-dispatched)."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    kind = d.pop("kind", "TraceConfig")
+    cls = {"TraceConfig": TraceConfig, "WaveConfig": WaveConfig}[kind]
+    if cls is TraceConfig and "energy" in d:
+        d["energy"] = Energy(d["energy"])
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(f"unknown {kind} keys: {sorted(unknown)}")
+    return cls(**d)

@@ -48,8 +48,19 @@ def ray_fan(angles_h: jnp.ndarray, angles_v: jnp.ndarray) -> jnp.ndarray:
     return geo.normalize(d)
 
 
-def fan_angles(fan: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Equally-spaced source angles across a (lo, hi) fan range."""
+def fan_angles(fan: jnp.ndarray, n: int, mode: str = "uniform") -> jnp.ndarray:
+    """Source angles across a (lo, hi) fan range.
+
+    ``mode="uniform"`` is equally spaced; ``mode="edge_dense"`` is the
+    reference's sigmoid-ramped sampling (``create_non_uniform_distribution``,
+    AKB_raytrace_20250312.py:375-382 — the commented-in alternative at its
+    fan sites :2705-2706) which concentrates rays at the aperture edges
+    where grazing-incidence aberrations are steepest.
+    """
+    if mode == "edge_dense":
+        from akbx.utils import non_uniform_distribution
+
+        return non_uniform_distribution(fan[0], fan[1], n)
     return jnp.linspace(fan[0], fan[1], n)
 
 
@@ -345,7 +356,7 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
         defocus_wave=1e-3, exit_pupil_uniform: bool = True,
         tilt_correction: bool = True, ray_sharding=None,
         uniform_stage: int = -1, precision: str = "f64",
-        tilt_mode: str = "mean") -> EngineResult:
+        tilt_mode: str = "mean", fan_mode: str = "uniform") -> EngineResult:
     """Full engine pass: fan -> trace (-> uniform re-fan -> re-trace)
     -> tilt removal -> detector planes -> OPL -> wavefront.
 
@@ -357,8 +368,8 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     the whole per-ray pipeline shards over the mesh (multi-chip data
     parallelism over rays).
     """
-    rand_p0h = fan_angles(system.fan_h, n_h)
-    rand_p0v = fan_angles(system.fan_v, n_v)
+    rand_p0h = fan_angles(system.fan_h, n_h, mode=fan_mode)
+    rand_p0v = fan_angles(system.fan_v, n_v, mode=fan_mode)
     src = system.source[:, None] * jnp.ones((1, n_h * n_v))
 
     if precision == "df32":
@@ -415,6 +426,21 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
 
     return EngineResult(result, detcenter, detcenter2, total, total2, wave2,
                         v, theta_y, theta_z, focus_apprx, rand_p0h, rand_p0v)
+
+
+def run_config(system: OpticalSystem, cfg, defocus) -> EngineResult:
+    """Run the engine from a typed :class:`akbx.config.TraceConfig`.
+
+    The reference mutates ~15 module globals (``option_*``,
+    AKB_raytrace_20250312.py:48-114) to select this behavior; here the
+    same choices arrive as one immutable config object.
+    """
+    return run(system, cfg.n_rays_h, cfg.n_rays_v, defocus,
+               defocus_wave=cfg.defocus_for_wave,
+               exit_pupil_uniform=cfg.exit_pupil_uniform,
+               tilt_correction=cfg.tilt_correction,
+               tilt_mode=cfg.tilt_mode, fan_mode=cfg.fan_mode,
+               precision=cfg.precision)
 
 
 def spot_size(detcenter: jnp.ndarray, valid: jnp.ndarray):

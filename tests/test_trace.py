@@ -182,6 +182,28 @@ class TestAKB:
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+class TestEdgeDenseFan:
+    def test_matches_reference_formula(self):
+        """fan_angles(mode='edge_dense') == the reference's
+        create_non_uniform_distribution (AKB_raytrace_20250312.py:375-382)."""
+        lo, hi, n = -0.011, 0.013, 33
+        ours = np.asarray(trace.fan_angles(jnp.array([lo, hi]), n,
+                                           mode="edge_dense"))
+        lin = np.linspace(-6, 6, n)
+        sig = 1 / (1 + np.exp(-lin))
+        ref = lo + (hi - lo) * (sig - sig.min()) / (sig.max() - sig.min())
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+        # edge-dense: spacing at the edges is much finer than at center
+        d = np.diff(ours)
+        assert d[0] < d[len(d) // 2] / 5
+
+    def test_trace_runs_edge_dense(self):
+        sys_ = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.zeros())
+        res = trace.run(sys_, 9, 9, defocus=0.0, exit_pupil_uniform=False,
+                        fan_mode="edge_dense")
+        assert bool(jnp.all(res.valid))
+
+
 class TestReferenceParity:
     """Golden end-to-end parity: our engine vs the reference engine run as
     an oracle (numba/tifffile stubbed; see tests/oracle.py).
