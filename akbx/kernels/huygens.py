@@ -304,9 +304,18 @@ def propagate_pallas(source, target_points, wavelength: float,
     reassociation).
     """
     k = 2.0 * math.pi / wavelength
-    center = jnp.concatenate([source.points, target_points], axis=1).mean(
+    # The axon/XLA:TPU f64 emulation silently degrades a *compile-time-
+    # constant* operand of a subtract that is fused with a runtime-computed
+    # value (measured: ~1.5e-9 absolute on 0.01-scale closure coordinates
+    # under an outer jit -> 6e-3 field error, vs 7e-7 eager).  A value
+    # barrier on the potentially-constant operands forces them to
+    # materialize as runtime f64 buffers, which the emulation handles
+    # exactly.  See BENCH_huygens_r03.json / round-3 hardware debugging.
+    src_points = jax.lax.optimization_barrier(source.points)
+    target_points = jax.lax.optimization_barrier(target_points)
+    center = jnp.concatenate([src_points, target_points], axis=1).mean(
         axis=1, keepdims=True)
-    src_pts = source.points - center
+    src_pts = src_points - center
     tgt_pts = target_points - center
     src_re = (source.re * source.ds).astype(jnp.float64)
     src_im = (source.im * source.ds).astype(jnp.float64)

@@ -84,57 +84,79 @@ def main():
     records.append(rec)
     print(json.dumps(rec))
 
+    def flush():
+        if backend in ("tpu", "axon"):
+            with open(ARTIFACT, "w") as fh:
+                json.dump({"records": records, "n_src": n_src,
+                           "n_tgt": n_tgt, "wavelength": wavelength},
+                          fh, indent=1)
+
+    # a stage failure (e.g. the XLA f64 path OOMing HBM at 65536^2, as in
+    # the first round-3 run) is recorded and the remaining stages still run
     for name in (("pallas",) if backend in ("tpu", "axon") else ()) + ("xla",):
-        fn = jax.jit(lambda t, b=name: wave.propagate(field, t, wavelength,
-                                                      backend=b))
-        t0 = time.time()
-        re, im = fn(tgt_j)
-        jax.block_until_ready(im)
-        compile_s = time.time() - t0
-        n_iter = 0
-        t0 = time.time()
-        while True:
+        # the XLA f64 path materializes (chunk x M) f32 temps under remat;
+        # keep them ~64 MB so 65536 sources fit HBM next to the fields
+        kw = {"chunk": 256} if name == "xla" else {}
+        try:
+            fn = jax.jit(lambda t, b=name: wave.propagate(
+                field, t, wavelength, backend=b, **kw))
+            t0 = time.time()
             re, im = fn(tgt_j)
             jax.block_until_ready(im)
-            n_iter += 1
-            if time.time() - t0 > 3.0 or n_iter >= 50:
-                break
-        dt = (time.time() - t0) / n_iter
-        u = np.asarray(re[:oracle_n]) + 1j * np.asarray(im[:oracle_n])
-        err = float(np.max(np.abs(u - o_u)) / np.max(np.abs(o_u)))
-        rec = {
-            "metric": "huygens_pairs_per_s", "backend_impl": name,
-            "device": backend, "value": pairs / dt, "unit": "pairs/s",
-            "compile_s": round(compile_s, 1), "step_s": dt,
-            "field_err_vs_native_f64": err,
-        }
+            compile_s = time.time() - t0
+            n_iter = 0
+            t0 = time.time()
+            while True:
+                re, im = fn(tgt_j)
+                jax.block_until_ready(im)
+                n_iter += 1
+                if time.time() - t0 > 3.0 or n_iter >= 50:
+                    break
+            dt = (time.time() - t0) / n_iter
+            u = np.asarray(re[:oracle_n]) + 1j * np.asarray(im[:oracle_n])
+            err = float(np.max(np.abs(u - o_u)) / np.max(np.abs(o_u)))
+            rec = {
+                "metric": "huygens_pairs_per_s", "backend_impl": name,
+                "device": backend, "value": pairs / dt, "unit": "pairs/s",
+                "compile_s": round(compile_s, 1), "step_s": dt,
+                "field_err_vs_native_f64": err,
+            }
+        except Exception as exc:  # record the truth, keep benching
+            rec = {"metric": "huygens_pairs_per_s", "backend_impl": name,
+                   "device": backend, "value": None,
+                   "error": f"{type(exc).__name__}: {exc}"[:2000]}
         records.append(rec)
         print(json.dumps(rec))
+        flush()
 
     if backend in ("tpu", "axon"):
         # grad parity: Pallas custom_vjp (backward = XLA core's VJP) vs
         # straight XLA autodiff, small N (VERDICT r1 #3)
-        gs, gt = make_problem(512, 384, seed=3)[:2]
-        gfield = wave.WaveField(jnp.asarray(gs), jnp.asarray(u_re[:512]),
-                                jnp.asarray(u_im[:512]),
-                                jnp.asarray(ds[:512]), 0, 0)
-        gt_j = jnp.asarray(gt)
+        try:
+            gs, gt = make_problem(512, 384, seed=3)[:2]
+            gfield = wave.WaveField(jnp.asarray(gs), jnp.asarray(u_re[:512]),
+                                    jnp.asarray(u_im[:512]),
+                                    jnp.asarray(ds[:512]), 0, 0)
+            gt_j = jnp.asarray(gt)
 
-        def loss(re_w, b):
-            f = wave.WaveField(gfield.points, re_w, gfield.im, gfield.ds, 0, 0)
-            r, i = wave.propagate(f, gt_j, wavelength, backend=b)
-            return jnp.sum(r ** 2 + i ** 2)
+            def loss(re_w, b):
+                f = wave.WaveField(gfield.points, re_w, gfield.im,
+                                   gfield.ds, 0, 0)
+                r, i = wave.propagate(f, gt_j, wavelength, backend=b)
+                return jnp.sum(r ** 2 + i ** 2)
 
-        g_p = np.asarray(jax.grad(loss)(gfield.re, "pallas"))
-        g_x = np.asarray(jax.grad(loss)(gfield.re, "xla"))
-        gerr = float(np.abs(g_p - g_x).max() / np.abs(g_x).max())
-        rec = {"metric": "huygens_grad_parity_pallas_vs_xla",
-               "value": gerr, "unit": "max_rel_err", "device": backend}
+            g_p = np.asarray(jax.grad(loss)(gfield.re, "pallas"))
+            g_x = np.asarray(jax.grad(loss)(gfield.re, "xla"))
+            gerr = float(np.abs(g_p - g_x).max() / np.abs(g_x).max())
+            rec = {"metric": "huygens_grad_parity_pallas_vs_xla",
+                   "value": gerr, "unit": "max_rel_err", "device": backend}
+        except Exception as exc:
+            rec = {"metric": "huygens_grad_parity_pallas_vs_xla",
+                   "value": None, "device": backend,
+                   "error": f"{type(exc).__name__}: {exc}"[:2000]}
         records.append(rec)
         print(json.dumps(rec))
-        with open(ARTIFACT, "w") as fh:
-            json.dump({"records": records, "n_src": n_src, "n_tgt": n_tgt,
-                       "wavelength": wavelength}, fh, indent=1)
+        flush()
 
 
 if __name__ == "__main__":
