@@ -165,6 +165,12 @@ def _propagate_xla(src_points, src_re, src_im, src_ds, target_points,
     target chunks).  Gradients flow to fields, quadrature weights, and
     both geometries."""
     k = 2.0 * math.pi / wavelength
+    # value barrier: the axon/XLA:TPU f64 emulation degrades compile-time-
+    # constant operands of fused subtracts (~1.5e-9 abs -> 6.3e-3 field
+    # error measured in the round-3 TPU bench); see the same fix in
+    # kernels/huygens.py.  No-op on CPU.
+    src_points = jax.lax.optimization_barrier(src_points)
+    target_points = jax.lax.optimization_barrier(target_points)
     center = jax.lax.stop_gradient(
         jnp.concatenate([src_points, target_points], axis=1).mean(
             axis=1, keepdims=True))
