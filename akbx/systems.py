@@ -989,6 +989,50 @@ def build_wolter_3_3_alternating(spec: AKBSpec, params: AlignParams,
                          fan_h, fan_v, src_shift, valid)
 
 
+def calibrate_uv(system: OpticalSystem, n_h: int = 9,
+                 n_v: int = 9) -> OpticalSystem:
+    """Set each mirror's Legendre-figure footprint from a traced probe fan.
+
+    ``surfaces.figure_height`` evaluates the (n_u, n_v) Legendre modes on
+    normalized local coordinates ``(local - uv_center) / uv_half``; the
+    builders leave the default ``uv_half = 1`` (metre units), under which
+    an illuminated footprint of a few cm spans only |u| <~ 0.02 — every
+    mode then looks like piston plus a sliver of tilt and the figure basis
+    is catastrophically ill-conditioned (measured: smallest Jacobian
+    singular values ~1e-9 of the largest in a 3x3-mode retrieval).
+
+    This traces an ``n_h x n_v`` fan through the *unperturbed* system and
+    sets ``uv_center``/``uv_half`` per mirror so the modes span [-1, 1]
+    over the actual illuminated aperture.  For H mirrors the local frame's
+    row 1 is the surface normal (near-zero footprint extent); rows 1 and 2
+    of ``axes`` are swapped there so row 1 is the true transverse
+    direction (``figure_height`` reads rows 0 and 1; the in-surface
+    tangent ``axes[0]`` used by ``intersect_and_reflect`` is unaffected).
+
+    Call once after building (and before installing figure errors); the
+    returned system is a plain pytree, safe to close over in jitted losses.
+    """
+    from akbx import trace as tr
+
+    res = tr.run(system, n_h, n_v, defocus=0.0, exit_pupil_uniform=False,
+                 tilt_correction=False)
+    mirrors = []
+    for m, pts in zip(system.mirrors, res.trace.points):
+        axes = m.axes
+        local = axes @ (pts - m.center[:, None])
+        ext = jnp.max(local, axis=1) - jnp.min(local, axis=1)
+        swap = ext[2] > ext[1]
+        axes = jnp.where(swap, axes[jnp.array([0, 2, 1])], axes)
+        local = axes @ (pts - m.center[:, None])
+        lo = jnp.min(local, axis=1)
+        hi = jnp.max(local, axis=1)
+        uv_center = (hi[:2] + lo[:2]) / 2.0
+        uv_half = jnp.maximum((hi[:2] - lo[:2]) / 2.0, 1e-12)
+        mirrors.append(m._replace(axes=axes, uv_center=uv_center,
+                                  uv_half=uv_half))
+    return system._replace(mirrors=tuple(mirrors))
+
+
 def build_system(ordering, spec: AKBSpec, params: AlignParams, **kw) -> OpticalSystem:
     """Dispatch on :class:`akbx.config.WolterOrdering` (the reference's
     option_wolter_* globals, :80-82, as data)."""
