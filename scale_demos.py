@@ -34,6 +34,20 @@ import resource
 import sys
 import time
 
+# CPU-only, guaranteed: the image's sitecustomize (PYTHONPATH=
+# /root/.axon_site) registers the remote-TPU plugin at interpreter start,
+# BEFORE this module runs — JAX_PLATFORMS=cpu alone cannot undo it, and a
+# stray claim would fight whatever job holds the single tunnel.  Re-exec
+# once with a sanitized environment (repo shadows the axon site dir).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("_SCALE_DEMOS_SANITIZED") != "1"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = _REPO_DIR
+    env["_SCALE_DEMOS_SANITIZED"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # never touch the single TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
