@@ -142,6 +142,10 @@ def df_add(x: DF, y: DF) -> DF:
 
 
 def df_add_f(x: DF, y) -> DF:
+    # dtype-matched: a python-float y would be promoted to f64 under x64
+    # inside the EFTs, silently dragging f32 double-word chains into
+    # emulated f64 (this bit the df32 trace: see trace_df's scan note)
+    y = jnp.asarray(y, dtype=jnp.asarray(x.hi).dtype)
     s = two_sum(x.hi, y)
     v = s.lo + x.lo
     return fast_two_sum(s.hi, v)
@@ -162,6 +166,9 @@ def df_mul(x: DF, y: DF) -> DF:
 
 
 def df_mul_f(x: DF, y) -> DF:
+    # dtype-matched (see df_add_f): two_prod's Dekker split would
+    # otherwise run on an f64 scalar and promote the whole chain
+    y = jnp.asarray(y, dtype=jnp.asarray(x.hi).dtype)
     p = two_prod(x.hi, y)
     e = p.lo + x.lo * y
     return fast_two_sum(p.hi, e)

@@ -154,42 +154,60 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
     dd = gdf.Vec3DF.from_f64(rays - chief_d0)
     dp = gdf.Vec3DF.from_f64(origins - chief_p0)
 
-    points, dirs, normals, segs = [], [rays], [], []
-    valid = jnp.ones(N, dtype=bool)
-    prev_pt = chief_p0[:, 0]
+    # --- stacked per-mirror f64 constants (leading dim = n mirrors) ----
+    # The per-bounce body is identical across mirrors, so it runs ONCE in
+    # the jitted graph under lax.scan.  The unrolled form lowered the df32
+    # fwd+bwd engine to 138k StableHLO lines — big enough to SIGKILL the
+    # remote TPU compile helper (BENCH_DETAIL round 3); the scan form is
+    # ~4x smaller and numerically identical (pure reordering of the same
+    # program, verified by the trace_df parity suite).
+    n_mirr = len(system.mirrors)
+    Ps = jnp.stack(P)                               # (nm, 3)
+    coeffs_l = jnp.stack([geo.shift(m.coeffs, -P[i])
+                          for i, m in enumerate(system.mirrors)])
+    Ms = jnp.stack([
+        jnp.stack([coeffs_l[:, 0], coeffs_l[:, 3] / 2, coeffs_l[:, 4] / 2]),
+        jnp.stack([coeffs_l[:, 3] / 2, coeffs_l[:, 1], coeffs_l[:, 5] / 2]),
+        jnp.stack([coeffs_l[:, 4] / 2, coeffs_l[:, 5] / 2, coeffs_l[:, 2]]),
+    ]).transpose(2, 0, 1)                           # (nm, 3, 3)
+    bvecs = coeffs_l[:, 6:9]
+    Ds = jnp.stack(D[:-1])                          # (nm, 3) incoming
+    Dns = jnp.stack(D[1:])                          # (nm, 3) outgoing
+    Ts = jnp.stack([jnp.asarray(t) for t in T])     # (nm,)
+    prev_pts = jnp.concatenate([chief_p0[:, 0][None], Ps[:-1]], axis=0)
+    p_noms = prev_pts - Ps                          # (nm, 3)
 
-    for i, mirror in enumerate(system.mirrors):
-        # local frame centered on the chief hit point of THIS mirror
-        cl = geo.shift(mirror.coeffs, -P[i])
-        M = jnp.stack([jnp.stack([cl[0], cl[3] / 2, cl[4] / 2]),
-                       jnp.stack([cl[3] / 2, cl[1], cl[5] / 2]),
-                       jnp.stack([cl[4] / 2, cl[5] / 2, cl[2]])])
-        bvec = cl[6:9]
-        Di = D[i]
-        p_nom = prev_pt - P[i]
+    A_noms = jnp.einsum("mi,mij,mj->m", Ds, Ms, Ds)
+    B_noms = (2.0 * jnp.einsum("mi,mij,mj->m", p_noms, Ms, Ds)
+              + jnp.einsum("mi,mi->m", bvecs, Ds))
+    C_noms = (jnp.einsum("mi,mij,mj->m", p_noms, Ms, p_noms)
+              + jnp.einsum("mi,mi->m", bvecs, p_noms) + coeffs_l[:, 9])
+    gCs = 2.0 * jnp.einsum("mij,mj->mi", Ms, p_noms) + bvecs
+    gAs = 2.0 * jnp.einsum("mij,mj->mi", Ms, Ds)
+    rhos = (A_noms * Ts + B_noms) * Ts + C_noms     # chief residuals (~0)
+    Bp_noms = 2.0 * A_noms * Ts + B_noms
+    branches = jnp.stack([jnp.asarray(m.branch) for m in system.mirrors])
 
-        # f64 scalar constants of this bounce
-        A_nom = Di @ M @ Di
-        B_nom = 2.0 * (p_nom @ M @ Di) + bvec @ Di
-        C_nom = p_nom @ M @ p_nom + bvec @ p_nom + cl[9]
-        gC = 2.0 * (M @ p_nom) + bvec
-        gA = 2.0 * (M @ Di)
-        Ti = T[i]
-        rho = (A_nom * Ti + B_nom) * Ti + C_nom     # chief residual (~0)
-        Bp_nom = 2.0 * A_nom * Ti + B_nom
+    consts = (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs,
+              branches, Ps)
 
-        # split the constants once per mirror
+    def bounce(carry, const):
+        dp, dd, valid = carry
+        (M, bvec, Di, Dn, Ti, A_nom, Bp_nom, rho, gC, gA, branch,
+         Pi) = const
+
+        # split the constants once per bounce
         M9 = gdf.mat3_const(M)
         gC_c = gdf.vec3_const(gC, shape)
         gA_c = gdf.vec3_const(gA, shape)
         D_c = gdf.vec3_const(Di, shape)
-        Dn_c = gdf.vec3_const(D[i + 1], shape)
+        Dn_c = gdf.vec3_const(Dn, shape)
         nn_c = gdf.vec3_const(bvec, shape)          # gradQ(0) = bvec
-        T_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Ti)), shape)
-        T2_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Ti * Ti)), shape)
-        A_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(A_nom)), shape)
-        Bp_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(Bp_nom)), shape)
-        rho_c = gdf.df_bcast(gdf.split_f64(jnp.asarray(rho)), shape)
+        T_c = gdf.df_bcast(gdf.split_f64(Ti), shape)
+        T2_c = gdf.df_bcast(gdf.split_f64(Ti * Ti), shape)
+        A_c = gdf.df_bcast(gdf.split_f64(A_nom), shape)
+        Bp_c = gdf.df_bcast(gdf.split_f64(Bp_nom), shape)
+        rho_c = gdf.df_bcast(gdf.split_f64(rho), shape)
 
         # per-ray deviation forms (all operands small or O(1))
         Mdp = gdf.matvec(M9, dp)
@@ -227,7 +245,7 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
                     jnp.where(b_nonneg, t_R_over_q.lo, t_q_over_A.lo))
         t_minus = DF(jnp.where(b_nonneg, t_q_over_A.hi, t_R_over_q.hi),
                      jnp.where(b_nonneg, t_q_over_A.lo, t_R_over_q.lo))
-        pick_plus = jnp.asarray(mirror.branch) >= 0
+        pick_plus = branch >= 0
         dt = DF(jnp.where(pick_plus, t_plus.hi, t_minus.hi),
                 jnp.where(pick_plus, t_plus.lo, t_minus.lo))
         valid = valid & ok
@@ -244,20 +262,26 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
                             df_add(df_mul_f(Mdq.z, F32(2.0)), nn_c.z)
                             ).normalize()
 
-        # reflect the full direction; deviation from the chief\'s reflected
+        # reflect the full direction; deviation from the chief's reflected
         refl = gdf.reflect_df(d_full, n_unit)
-        dd = gdf.Vec3DF(df_sub(refl.x, Dn_c.x), df_sub(refl.y, Dn_c.y),
-                        df_sub(refl.z, Dn_c.z))
-        dp = dq  # frames hop through the chief constants
+        dd_new = gdf.Vec3DF(df_sub(refl.x, Dn_c.x), df_sub(refl.y, Dn_c.y),
+                            df_sub(refl.z, Dn_c.z))
 
-        points.append(P[i][:, None].astype(f64) + dq.to_f64())
-        dirs.append(D[i + 1][:, None].astype(f64) + dd.to_f64())
-        normals.append(n_unit.to_f64())
-        segs.append(Ti.astype(f64) + gdf.df_to_f64(dt))
-        prev_pt = P[i]
+        pts64 = Pi[:, None].astype(f64) + dq.to_f64()
+        dir64 = Dn[:, None].astype(f64) + dd_new.to_f64()
+        seg64 = Ti.astype(f64) + gdf.df_to_f64(dt)
+        # dp = dq: frames hop through the chief constants
+        return (dq, dd_new, valid), (pts64, dir64, n_unit.to_f64(), seg64)
 
-    return TraceResult(tuple(points), tuple(dirs), tuple(normals),
-                       tuple(segs), valid)
+    valid0 = jnp.ones(N, dtype=bool)
+    (_, _, valid), (pts_s, dirs_s, norms_s, segs_s) = jax.lax.scan(
+        bounce, (dp, dd, valid0), consts)
+
+    points = tuple(pts_s[i] for i in range(n_mirr))
+    dirs = (rays,) + tuple(dirs_s[i] for i in range(n_mirr))
+    normals = tuple(norms_s[i] for i in range(n_mirr))
+    segs = tuple(segs_s[i] for i in range(n_mirr))
+    return TraceResult(points, dirs, normals, segs, valid)
 
 
 def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
