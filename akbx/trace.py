@@ -21,6 +21,7 @@ Key TPU-first choices:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -100,6 +101,50 @@ def trace(system: OpticalSystem, rays: jnp.ndarray,
                        tuple(segs), valid)
 
 
+def _deviation_constants(system: OpticalSystem, P, D, T, chief_p0):
+    """Stacked per-mirror f64 chief constants of the deviation trace.
+
+    The per-bounce body is identical across mirrors, so the deviation
+    engines run it ONCE in the jitted graph (lax.scan in
+    :func:`trace_df` / :func:`trace_dev32`, an in-kernel loop in
+    :mod:`akbx.kernels.trace_kernel`).  The unrolled form lowered the df32
+    fwd+bwd engine to 138k StableHLO lines — big enough to SIGKILL the
+    remote TPU compile helper (BENCH_DETAIL round 3); the stacked form is
+    ~4x smaller and numerically identical (pure reordering of the same
+    program, verified by the trace_df parity suite).
+
+    Returns (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs,
+    branches, Ps), each with leading dim n_mirrors.
+    """
+    Ps = jnp.stack(P)                               # (nm, 3)
+    coeffs_l = jnp.stack([geo.shift(m.coeffs, -P[i])
+                          for i, m in enumerate(system.mirrors)])
+    Ms = jnp.stack([
+        jnp.stack([coeffs_l[:, 0], coeffs_l[:, 3] / 2, coeffs_l[:, 4] / 2]),
+        jnp.stack([coeffs_l[:, 3] / 2, coeffs_l[:, 1], coeffs_l[:, 5] / 2]),
+        jnp.stack([coeffs_l[:, 4] / 2, coeffs_l[:, 5] / 2, coeffs_l[:, 2]]),
+    ]).transpose(2, 0, 1)                           # (nm, 3, 3)
+    bvecs = coeffs_l[:, 6:9]
+    Ds = jnp.stack(D[:-1])                          # (nm, 3) incoming
+    Dns = jnp.stack(D[1:])                          # (nm, 3) outgoing
+    Ts = jnp.stack([jnp.asarray(t) for t in T])     # (nm,)
+    prev_pts = jnp.concatenate([chief_p0[:, 0][None], Ps[:-1]], axis=0)
+    p_noms = prev_pts - Ps                          # (nm, 3)
+
+    A_noms = jnp.einsum("mi,mij,mj->m", Ds, Ms, Ds)
+    B_noms = (2.0 * jnp.einsum("mi,mij,mj->m", p_noms, Ms, Ds)
+              + jnp.einsum("mi,mi->m", bvecs, Ds))
+    C_noms = (jnp.einsum("mi,mij,mj->m", p_noms, Ms, p_noms)
+              + jnp.einsum("mi,mi->m", bvecs, p_noms) + coeffs_l[:, 9])
+    gCs = 2.0 * jnp.einsum("mij,mj->mi", Ms, p_noms) + bvecs
+    gAs = 2.0 * jnp.einsum("mij,mj->mi", Ms, Ds)
+    rhos = (A_noms * Ts + B_noms) * Ts + C_noms     # chief residuals (~0)
+    Bp_noms = 2.0 * A_noms * Ts + B_noms
+    branches = jnp.stack([jnp.asarray(m.branch) for m in system.mirrors])
+    return (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs,
+            branches, Ps)
+
+
 def trace_df(system: OpticalSystem, rays: jnp.ndarray,
              origins: jnp.ndarray, chief_idx: int | None = None
              ) -> TraceResult:
@@ -154,42 +199,10 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
     dd = gdf.Vec3DF.from_f64(rays - chief_d0)
     dp = gdf.Vec3DF.from_f64(origins - chief_p0)
 
-    # --- stacked per-mirror f64 constants (leading dim = n mirrors) ----
-    # The per-bounce body is identical across mirrors, so it runs ONCE in
-    # the jitted graph under lax.scan.  The unrolled form lowered the df32
-    # fwd+bwd engine to 138k StableHLO lines — big enough to SIGKILL the
-    # remote TPU compile helper (BENCH_DETAIL round 3); the scan form is
-    # ~4x smaller and numerically identical (pure reordering of the same
-    # program, verified by the trace_df parity suite).
     n_mirr = len(system.mirrors)
-    Ps = jnp.stack(P)                               # (nm, 3)
-    coeffs_l = jnp.stack([geo.shift(m.coeffs, -P[i])
-                          for i, m in enumerate(system.mirrors)])
-    Ms = jnp.stack([
-        jnp.stack([coeffs_l[:, 0], coeffs_l[:, 3] / 2, coeffs_l[:, 4] / 2]),
-        jnp.stack([coeffs_l[:, 3] / 2, coeffs_l[:, 1], coeffs_l[:, 5] / 2]),
-        jnp.stack([coeffs_l[:, 4] / 2, coeffs_l[:, 5] / 2, coeffs_l[:, 2]]),
-    ]).transpose(2, 0, 1)                           # (nm, 3, 3)
-    bvecs = coeffs_l[:, 6:9]
-    Ds = jnp.stack(D[:-1])                          # (nm, 3) incoming
-    Dns = jnp.stack(D[1:])                          # (nm, 3) outgoing
-    Ts = jnp.stack([jnp.asarray(t) for t in T])     # (nm,)
-    prev_pts = jnp.concatenate([chief_p0[:, 0][None], Ps[:-1]], axis=0)
-    p_noms = prev_pts - Ps                          # (nm, 3)
-
-    A_noms = jnp.einsum("mi,mij,mj->m", Ds, Ms, Ds)
-    B_noms = (2.0 * jnp.einsum("mi,mij,mj->m", p_noms, Ms, Ds)
-              + jnp.einsum("mi,mi->m", bvecs, Ds))
-    C_noms = (jnp.einsum("mi,mij,mj->m", p_noms, Ms, p_noms)
-              + jnp.einsum("mi,mi->m", bvecs, p_noms) + coeffs_l[:, 9])
-    gCs = 2.0 * jnp.einsum("mij,mj->mi", Ms, p_noms) + bvecs
-    gAs = 2.0 * jnp.einsum("mij,mj->mi", Ms, Ds)
-    rhos = (A_noms * Ts + B_noms) * Ts + C_noms     # chief residuals (~0)
-    Bp_noms = 2.0 * A_noms * Ts + B_noms
-    branches = jnp.stack([jnp.asarray(m.branch) for m in system.mirrors])
-
-    consts = (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs,
-              branches, Ps)
+    consts = _deviation_constants(system, P, D, T, chief_p0)
+    (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs, branches,
+     Ps) = consts
 
     def bounce(carry, const):
         dp, dd, valid = carry
@@ -282,6 +295,175 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
     normals = tuple(norms_s[i] for i in range(n_mirr))
     segs = tuple(segs_s[i] for i in range(n_mirr))
     return TraceResult(points, dirs, normals, segs, valid)
+
+
+def trace_dev32(system: OpticalSystem, rays: jnp.ndarray,
+                origins: jnp.ndarray, chief_idx: int | None = None
+                ) -> TraceResult:
+    """The deviation trace in PLAIN single f32 — the backward-pass twin.
+
+    Same algebra as :func:`trace_df` with every double-word op replaced by
+    one f32 op.  Its forward VALUES are only f32-grade, but its Jacobian
+    equals the df32/f64 engines' to f32 rounding (EFT error terms have
+    near-zero derivatives), which is exactly what the Pallas fast path's
+    ``custom_vjp`` backward needs: barrier-free, fusable, ~15x fewer ops
+    than the df32 VJP.  Also usable directly for derivative-free spot
+    metrics where nm wavefront accuracy is irrelevant.
+    """
+    f64 = jnp.float64
+    F32 = jnp.float32
+    N = rays.shape[1]
+    if chief_idx is None:
+        chief_idx = N // 2
+
+    chief_d0 = rays[:, chief_idx:chief_idx + 1]
+    chief_p0 = origins[:, chief_idx:chief_idx + 1]
+    chief = trace(system, chief_d0, chief_p0)
+    P = [pts[:, 0] for pts in chief.points]
+    D = [d[:, 0] for d in chief.directions]
+    T = [seg[0] for seg in chief.segments]
+
+    n_mirr = len(system.mirrors)
+    consts64 = _deviation_constants(system, P, D, T, chief_p0)
+    consts32 = tuple(c.astype(F32) for c in consts64)
+    (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs, branches,
+     Ps32) = consts32
+    Ps = consts64[-1]
+
+    dd0 = (rays - chief_d0).astype(F32)    # (3, N)
+    dp0 = (origins - chief_p0).astype(F32)
+
+    def bounce(carry, const):
+        dp, dd, valid = carry
+        (M, bvec, Di, Dn, Ti, A_nom, Bp_nom, rho, gC, gA, branch,
+         Pi) = const
+        Mdp = M @ dp
+        Mdd = M @ dd
+        dC = gC @ dp + jnp.sum(Mdp * dp, axis=0)
+        dA = gA @ dd + jnp.sum(Mdd * dd, axis=0)
+        dB = gC @ dd + gA @ dp + 2.0 * jnp.sum(Mdp * dd, axis=0)
+        R = (dA * Ti + dB) * Ti + dC + rho
+        A_full = dA + A_nom
+        Bp = 2.0 * dA * Ti + dB + Bp_nom
+        disc = Bp * Bp - 4.0 * A_full * R
+        ok = disc > 0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        sgn = jnp.where(Bp >= 0, F32(1.0), F32(-1.0))
+        qq = -0.5 * (Bp + sgn * sq)
+        safe_q = jnp.where(qq != 0, qq, F32(1.0))
+        safe_A = jnp.where(A_full != 0, A_full, F32(1.0))
+        t_plus = jnp.where(Bp >= 0, R / safe_q, qq / safe_A)
+        t_minus = jnp.where(Bp >= 0, qq / safe_A, R / safe_q)
+        dt = jnp.where(branch >= 0, t_plus, t_minus)
+        valid = valid & ok
+
+        d_full = dd + Di[:, None]
+        dq = dp + Ti * dd + dt * d_full
+        nvec = bvec[:, None] + 2.0 * (M @ dq)
+        n_unit = nvec / jnp.linalg.norm(nvec, axis=0, keepdims=True)
+        refl = d_full - 2.0 * jnp.sum(d_full * n_unit, axis=0) * n_unit
+        dd_new = refl - Dn[:, None]
+        return (dq, dd_new, valid), (dq, dd_new, n_unit, dt)
+
+    valid0 = jnp.ones(N, dtype=bool)
+    (_, _, valid), (dq_s, dd_s, n_s, dt_s) = jax.lax.scan(
+        bounce, (dp0, dd0, valid0), consts32)
+
+    points = tuple(Ps[i][:, None] + dq_s[i].astype(f64)
+                   for i in range(n_mirr))
+    dirs = (rays,) + tuple(consts64[3][i][:, None] + dd_s[i].astype(f64)
+                           for i in range(n_mirr))
+    normals = tuple(n_s[i].astype(f64) for i in range(n_mirr))
+    segs = tuple(consts64[4][i] + dt_s[i].astype(f64)
+                 for i in range(n_mirr))
+    return TraceResult(points, dirs, normals, segs, valid)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _trace_pallas_core(system, rays, origins, chief_idx: int,
+                       interpret: bool):
+    """Pallas df32 deviation-trace forward with a plain-f32 backward.
+
+    Forward: the Mosaic kernel (:mod:`akbx.kernels.trace_kernel`) — the
+    barrier-free df32 bounce chain.  Backward: the VJP of
+    :func:`trace_dev32` (see its docstring for why the Jacobians agree).
+    """
+    from akbx.kernels import trace_kernel as tk
+
+    f64 = jnp.float64
+    N = rays.shape[1]
+    chief_d0 = rays[:, chief_idx:chief_idx + 1]
+    chief_p0 = origins[:, chief_idx:chief_idx + 1]
+    chief = trace(system, chief_d0, chief_p0)
+    P = [pts[:, 0] for pts in chief.points]
+    D = [d[:, 0] for d in chief.directions]
+    T = [seg[0] for seg in chief.segments]
+
+    n_mirr = len(system.mirrors)
+    (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs, branches,
+     Ps) = _deviation_constants(system, P, D, T, chief_p0)
+    consts = tk.pack_consts(Ms, gCs, gAs, Ds, Dns, Ts, A_noms, Bp_noms,
+                            rhos, branches, bvecs)
+
+    dp64 = origins - chief_p0
+    dd64 = rays - chief_d0
+    if interpret:
+        # off-TPU: the pure-jnp twin of the kernel (same bounce_chain)
+        outs = tk.trace_deviation_reference(consts, dp64, dd64, n_mirr)
+    else:
+        outs = tk.trace_deviation_pallas(consts, dp64, dd64, n_mirr)
+    dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, val = outs
+
+    def f64_of(hi, lo):
+        return hi.astype(f64) + lo.astype(f64)
+
+    points, dirs, normals, segs = [], [rays], [], []
+    for m in range(n_mirr):
+        pts = Ps[m][:, None] + f64_of(dq_hi[3 * m:3 * m + 3],
+                                      dq_lo[3 * m:3 * m + 3])
+        points.append(pts)
+        dirs.append(Dns[m][:, None] + f64_of(od_hi[3 * m:3 * m + 3],
+                                             od_lo[3 * m:3 * m + 3]))
+        # normals in f64 from the placed quadric (DCE'd when unused)
+        normals.append(geo.surface_normal(system.mirrors[m].coeffs, pts))
+        segs.append(Ts[m] + f64_of(dt_hi[m], dt_lo[m]))
+    valid = val[0] > 0.5
+    return TraceResult(tuple(points), tuple(dirs), tuple(normals),
+                       tuple(segs), valid)
+
+
+def _trace_pallas_fwd(system, rays, origins, chief_idx, interpret):
+    out = _trace_pallas_core(system, rays, origins, chief_idx, interpret)
+    return out, (system, rays, origins)
+
+
+def _trace_pallas_bwd(chief_idx, interpret, residuals, cot):
+    system, rays, origins = residuals
+    _, vjp = jax.vjp(
+        lambda s, r, o: trace_dev32(s, r, o, chief_idx=chief_idx),
+        system, rays, origins)
+    return vjp(cot)
+
+
+_trace_pallas_core.defvjp(_trace_pallas_fwd, _trace_pallas_bwd)
+
+
+def trace_pallas(system: OpticalSystem, rays: jnp.ndarray,
+                 origins: jnp.ndarray, chief_idx: int | None = None,
+                 interpret: bool | None = None) -> TraceResult:
+    """The TPU-throughput trace: Mosaic df32 forward, f32-VJP backward.
+
+    Same contract as :func:`trace` / :func:`trace_df`.  ``interpret``
+    defaults to the Pallas interpreter off-TPU (CI-runnable).
+    """
+    if interpret is None:
+        from akbx.wave import _tpu_is_default
+
+        interpret = not _tpu_is_default()
+    if chief_idx is None:
+        chief_idx = rays.shape[1] // 2
+    return _trace_pallas_core(system, rays, origins, int(chief_idx),
+                              bool(interpret))
 
 
 def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
@@ -396,9 +578,12 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     rand_p0v = fan_angles(system.fan_v, n_v, mode=fan_mode)
     src = system.source[:, None] * jnp.ones((1, n_h * n_v))
 
-    if precision == "df32":
+    if precision in ("df32", "pallas"):
         has_figure = any(m.fig_coeffs.shape != (1, 1) for m in system.mirrors)
-        trace_fn = trace if has_figure else trace_df
+        if has_figure:
+            trace_fn = trace  # figure fields live on the f64 path
+        else:
+            trace_fn = trace_df if precision == "df32" else trace_pallas
     else:
         trace_fn = trace
 
@@ -437,8 +622,18 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     # OPL with compensated accumulation (reference :3623-3633)
     d_last = jnp.linalg.norm(detcenter - result.exit_points, axis=0)
     d_last2 = jnp.linalg.norm(detcenter2 - result.exit_points, axis=0)
-    total = pr.sum_segments(list(result.segments) + [d_last])
-    total2 = pr.sum_segments(list(result.segments) + [d_last2])
+    if precision == "pallas":
+        # throughput path: a plain f64 sum of 5 terms rounds at
+        # ~ulp(146)/2 per add (~1e-13 m rms on the demeaned wavefront) —
+        # 1000x under the 1e-10 m signal and ~100x under the f64 trace's
+        # own noise, while the compensated df64 sum costs ~75
+        # barrier-laden f64 ops/ray (it stays on the f64/df32 paths,
+        # whose 7.8e-14 m oracle-parity claims need it)
+        total = sum(result.segments) + d_last
+        total2 = sum(result.segments) + d_last2
+    else:
+        total = pr.sum_segments(list(result.segments) + [d_last])
+        total2 = pr.sum_segments(list(result.segments) + [d_last2])
 
     # wavefront on the defocused plane: OPL error minus reference sphere
     # (reference :3626-3633, 3673-3677)

@@ -17,6 +17,16 @@ os.environ.setdefault("MPLBACKEND", "Agg")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the AKB engine graphs take 30-300 s each to
+# compile on the 2-core CI host and identical HLO recurs across tests and
+# sessions; the cache is keyed by HLO fingerprint (safe) and cuts a cold
+# full-suite run by many minutes
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_akbx_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
