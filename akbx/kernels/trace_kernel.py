@@ -89,6 +89,16 @@ def pack_consts(Ms, gCs, gAs, Ds, Dns, Ts, A_noms, Bp_noms, rhos,
     return rows
 
 
+def _df_div(df, x, y):
+    """Double-word division on (hi, lo) pairs (Newton-corrected)."""
+    q1 = x[0] / y[0]
+    ph, plo = df.two_prod(y[0], q1)
+    e = plo + y[1] * q1
+    rh, rl = df.df_add(x[0], x[1], -ph, -e)
+    q2 = (rh + rl) / y[0]
+    return df.fast_two_sum(q1, q2)
+
+
 def bounce_chain(df, get_c, dp, dd, n_mirr: int):
     """The full deviation bounce chain on (hi, lo) pairs.
 
@@ -102,12 +112,7 @@ def bounce_chain(df, get_c, dp, dd, n_mirr: int):
     """
 
     def df_div(x, y):
-        q1 = x[0] / y[0]
-        ph, plo = df.two_prod(y[0], q1)
-        e = plo + y[1] * q1
-        rh, rl = df.df_add(x[0], x[1], -ph, -e)
-        q2 = (rh + rl) / y[0]
-        return df.fast_two_sum(q1, q2)
+        return _df_div(df, x, y)
 
     def df_rsqrt(x):
         s = jax.lax.rsqrt(jnp.maximum(x[0], F32(1e-30)))
@@ -220,10 +225,10 @@ def bounce_chain(df, get_c, dp, dd, n_mirr: int):
 
 
 def _trace_kernel(const_ref, *refs, n_mirr: int, use_barrier: bool):
-    """refs: 12 inputs (dp/dd x 3 comps x hi/lo), then 15 outputs
-    (dq 6, od 6, dt 2, valid 1), each a (8, C) tile — rays packed 2D so
-    the VPU's (8, 128) registers are fully occupied (a (1, N) layout
-    wastes 7/8 of the sublanes)."""
+    """refs: 12 inputs (dp/dd x 3 comps x hi/lo), then 17 outputs
+    (per-mirror dq 6 + od 6 + dt 2, then dsum 2, valid 1), each a (8, C)
+    tile — rays packed 2D so the VPU's (8, 128) registers are fully
+    occupied (a (1, N) layout wastes 7/8 of the sublanes)."""
     df = _make_df_ops(use_barrier)
     (dpxh, dpxl, dpyh, dpyl, dpzh, dpzl,
      ddxh, ddxl, ddyh, ddyl, ddzh, ddzl) = refs[:12]
@@ -243,7 +248,12 @@ def _trace_kernel(const_ref, *refs, n_mirr: int, use_barrier: bool):
         outs[k][:] = dts[m][0]
         outs[k + 1][:] = dts[m][1]
         k += 2
-    outs[k][:] = valid
+    dsum = dts[0]
+    for m in range(1, n_mirr):
+        dsum = df.df_add(dsum[0], dsum[1], dts[m][0], dts[m][1])
+    outs[k][:] = dsum[0]
+    outs[k + 1][:] = dsum[1]
+    outs[k + 2][:] = valid
 
 
 @functools.partial(jax.jit,
@@ -257,8 +267,10 @@ def trace_deviation_pallas(consts, dp64, dd64, n_mirr: int,
     ``dp64``/``dd64``: (3, N) f64 deviations from the chief ray.
     Rays are packed into (rows, cols) 2D tiles (rows*cols per grid step)
     for full VPU sublane occupancy.  Returns f32 pairs
-    ``(dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, valid)`` shaped
-    (3*n_mirr, N) / (n_mirr, N) / (1, N).
+    ``(dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, dsum_hi, dsum_lo,
+    valid)`` shaped (3*n_mirr, N) / (n_mirr, N) / (1, N) — ``dsum`` is
+    the cumulative leg-length deviation (the OPL deviation up to the
+    last mirror), accumulated barrier-free in the kernel.
     """
     n = dp64.shape[1]
     tile = rows * cols
@@ -285,7 +297,7 @@ def trace_deviation_pallas(consts, dp64, dd64, n_mirr: int,
     const_spec = pl.BlockSpec((n_mirr, _N_CONST), lambda i: (zero, zero),
                               memory_space=pltpu.SMEM)
 
-    n_out = 12 * n_mirr + 2 * n_mirr + 1
+    n_out = 12 * n_mirr + 2 * n_mirr + 3
     kernel = functools.partial(_trace_kernel, n_mirr=n_mirr,
                                use_barrier=interpret)
     shapes = tuple(jax.ShapeDtypeStruct((nrows, cols), F32)
@@ -309,8 +321,8 @@ def trace_deviation_pallas(consts, dp64, dd64, n_mirr: int,
 
     flat = [o.reshape(-1)[:n] for o in out]
     # outputs are ordered per-mirror (4 rows per component: dq hi/lo,
-    # od hi/lo; then 2 dt rows) and one final valid plane — walk the
-    # same order the kernel wrote them
+    # od hi/lo; then 2 dt rows), then dsum hi/lo and the valid plane —
+    # walk the same order the kernel wrote them
     dq_hi_l, dq_lo_l, od_hi_l, od_lo_l, dt_hi_l, dt_lo_l = \
         [], [], [], [], [], []
     k = 0
@@ -321,10 +333,11 @@ def trace_deviation_pallas(consts, dp64, dd64, n_mirr: int,
             k += 4
         dt_hi_l.append(flat[k]); dt_lo_l.append(flat[k + 1])
         k += 2
-    valid = flat[k][None]
+    dsum_hi, dsum_lo = flat[k], flat[k + 1]
+    valid = flat[k + 2][None]
     return (jnp.stack(dq_hi_l), jnp.stack(dq_lo_l), jnp.stack(od_hi_l),
             jnp.stack(od_lo_l), jnp.stack(dt_hi_l), jnp.stack(dt_lo_l),
-            valid)
+            dsum_hi, dsum_lo, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("n_mirr",))
@@ -349,5 +362,212 @@ def trace_deviation_reference(consts, dp64, dd64, n_mirr: int):
     def pack1(items, word):
         return jnp.stack([items[m][word] for m in range(n_mirr)])
 
+    dsum = dts[0]
+    for m in range(1, n_mirr):
+        dsum = df.df_add(dsum[0], dsum[1], dts[m][0], dts[m][1])
     return (pack3(dqs, 0), pack3(dqs, 1), pack3(dds, 0), pack3(dds, 1),
-            pack1(dts, 0), pack1(dts, 1), valid[None])
+            pack1(dts, 0), pack1(dts, 1), dsum[0], dsum[1], valid[None])
+
+
+# ---------------------------------------------------------------------------
+# Detector / tilt stage: rotate exit deviations by the (data-dependent)
+# tilt-removal rotation, intersect the detector plane, and finish the OPL
+# deviation — the per-ray post-pipeline of akbx.trace.run, in the same
+# barrier-free df32 algebra as the bounce chain.  Without this the fast
+# path leaves ~100 f64-emulated ops/ray (arctan, norms, plane intersects)
+# in the live XLA graph, which dominates the kernel itself on TPU.
+# Reference semantics: tilt removal AKB_raytrace_20250312.py:3564-3601,
+# detector planes :3593-3596, OPL :3623-3633.
+# ---------------------------------------------------------------------------
+
+# consts-row layout for the detector kernel ((1, 32) f32)
+_DR_HI, _DR_LO = 0, 9          # 3x3 tilt rotation R, row-major
+_DD4_HI, _DD4_LO = 18, 21      # R-rotated chief exit direction D4'
+_DTC_HI, _DTC_LO = 24, 25      # chief plane parameter t_c
+_DL_HI, _DL_LO = 26, 27        # chief exit->plane distance L = |t_c D4'|
+_DL2_HI, _DL2_LO = 28, 29      # L^2
+_N_DCONST = 32
+
+
+def pack_det_consts(R, D4r, t_c, L) -> jnp.ndarray:
+    """(1, 32) f32 table of hi/lo-split f64 detector-stage constants."""
+    row = jnp.zeros((1, _N_DCONST), dtype=F32)
+    Rh, Rl = _split64(jnp.reshape(R, (9,)))
+    row = row.at[0, _DR_HI:_DR_HI + 9].set(Rh)
+    row = row.at[0, _DR_LO:_DR_LO + 9].set(Rl)
+    Dh, Dl = _split64(D4r)
+    row = row.at[0, _DD4_HI:_DD4_HI + 3].set(Dh)
+    row = row.at[0, _DD4_LO:_DD4_LO + 3].set(Dl)
+    for col_hi, col_lo, v in ((_DTC_HI, _DTC_LO, t_c), (_DL_HI, _DL_LO, L),
+                              (_DL2_HI, _DL2_LO, L * L)):
+        h, low = _split64(jnp.asarray(v))
+        row = row.at[0, col_hi].set(h)
+        row = row.at[0, col_lo].set(low)
+    return row
+
+
+def detector_chain(df, get_c, dq, dd, dsum):
+    """Tilt-rotate + detector-plane + OPL-finish on (hi, lo) pairs.
+
+    ``dq``/``dd``: exit point/direction deviations (3 components of
+    (hi, lo)); ``dsum``: cumulative leg-length deviation.  Exact deviation
+    algebra around the rotated chief:
+
+      dq' = R dq,  dd' = R dd                      (tilt removal)
+      dt  = -(dq'_x + t_c dd'_x) / (D4'_x + dd'_x) (plane x = x_det)
+      ddet = dq' + t_c dd' + dt (D4' + dd')
+      delta = ddet - dq';  u = 2 t_c (D4' . delta) + delta . delta
+      dlast = u / (L + sqrt(L^2 + u))              (|det - q4'| - L)
+      dtot = dsum + dlast
+
+    Returns (ddet (3 pairs), dq' (3 pairs), dd' (3 pairs), dtot pair).
+    """
+
+    def cdf(k_hi, k_lo):
+        return (get_c(k_hi), get_c(k_lo))
+
+    def add(a, b):
+        return df.df_add(a[0], a[1], b[0], b[1])
+
+    def mul(a, b):
+        return df.df_mul(a[0], a[1], b[0], b[1])
+
+    R = [[cdf(_DR_HI + 3 * r + c, _DR_LO + 3 * r + c) for c in range(3)]
+         for r in range(3)]
+    D4 = [cdf(_DD4_HI + r, _DD4_LO + r) for r in range(3)]
+    tc = cdf(_DTC_HI, _DTC_LO)
+    L = cdf(_DL_HI, _DL_LO)
+    L2 = cdf(_DL2_HI, _DL2_LO)
+
+    def dot3(a, b):
+        return add(add(mul(a[0], b[0]), mul(a[1], b[1])), mul(a[2], b[2]))
+
+    def matvec(v):
+        return [dot3(R[r], v) for r in range(3)]
+
+    dqr = matvec(dq)
+    ddr = matvec(dd)
+
+    den = add(D4[0], ddr[0])
+    num = add(dqr[0], mul(tc, ddr[0]))
+    dt = _df_div(df, (-num[0], -num[1]), den)
+
+    d_full = [add(D4[r], ddr[r]) for r in range(3)]
+    delta = [add(mul(tc, ddr[r]), mul(dt, d_full[r])) for r in range(3)]
+    ddet = [add(dqr[r], delta[r]) for r in range(3)]
+
+    cd = mul(tc, dot3(D4, delta))
+    u = add((cd[0] * F32(2.0), cd[1] * F32(2.0)), dot3(delta, delta))
+    s2 = add(L2, u)
+    s2ok = (jnp.maximum(s2[0], F32(0.0)), s2[1])
+    root = df.df_sqrt(*s2ok)
+    dlast = _df_div(df, u, add(L, root))
+    dtot = add(dsum, dlast)
+    return ddet, dqr, ddr, dtot
+
+
+def _det_kernel(const_ref, *refs, use_barrier: bool):
+    """refs: 14 inputs (dq/dd x 3 x hi/lo, dsum hi/lo), then 16 outputs
+    (ddet 6, dq' 6, dd' 2... see detector_pallas), (8, C) tiles."""
+    df = _make_df_ops(use_barrier)
+    (qxh, qxl, qyh, qyl, qzh, qzl,
+     dxh, dxl, dyh, dyl, dzh, dzl, sh, sl) = refs[:14]
+    outs = refs[14:]
+    dq = [(qxh[:], qxl[:]), (qyh[:], qyl[:]), (qzh[:], qzl[:])]
+    dd = [(dxh[:], dxl[:]), (dyh[:], dyl[:]), (dzh[:], dzl[:])]
+    ddet, dqr, ddr, dtot = detector_chain(
+        df, lambda k: const_ref[0, k], dq, dd, (sh[:], sl[:]))
+    k = 0
+    for r in range(3):
+        outs[k][:] = ddet[r][0]
+        outs[k + 1][:] = ddet[r][1]
+        outs[k + 2][:] = dqr[r][0]
+        outs[k + 3][:] = dqr[r][1]
+        outs[k + 4][:] = ddr[r][0]
+        outs[k + 5][:] = ddr[r][1]
+        k += 6
+    outs[k][:] = dtot[0]
+    outs[k + 1][:] = dtot[1]
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def detector_pallas(consts, dq_hi, dq_lo, dd_hi, dd_lo, dsum_hi, dsum_lo,
+                    rows: int = 8, cols: int = 512,
+                    interpret: bool = False):
+    """Run the detector/tilt kernel.
+
+    ``consts``: (1, 32) f32 from :func:`pack_det_consts`; ``dq_*``/
+    ``dd_*``: (3, N) f32 exit deviations; ``dsum_*``: (N,).  Returns
+    ``(ddet_hi, ddet_lo, dqr_hi, dqr_lo, ddr_hi, ddr_lo, dtot_hi,
+    dtot_lo)`` shaped (3, N) / (N,).
+    """
+    n = dq_hi.shape[1]
+    tile = rows * cols
+    pad = (-n) % tile
+    npad = n + pad
+    nrows = npad // cols
+
+    def tile2(x):
+        return jnp.pad(x, (0, pad)).reshape(nrows, cols)
+
+    inputs = []
+    for r in range(3):
+        inputs += [tile2(dq_hi[r]), tile2(dq_lo[r])]
+    for r in range(3):
+        inputs += [tile2(dd_hi[r]), tile2(dd_lo[r])]
+    inputs += [tile2(dsum_hi), tile2(dsum_lo)]
+
+    grid = (nrows // rows,)
+    zero = np.int32(0)
+    ray_spec = pl.BlockSpec((rows, cols), lambda i: (i, zero),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, _N_DCONST), lambda i: (zero, zero),
+                              memory_space=pltpu.SMEM)
+    n_out = 20
+    kernel = functools.partial(_det_kernel, use_barrier=interpret)
+    shapes = tuple(jax.ShapeDtypeStruct((nrows, cols), F32)
+                   for _ in range(n_out))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[const_spec] + [ray_spec] * 14,
+        out_specs=tuple(ray_spec for _ in range(n_out)),
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=900 * npad,
+            bytes_accessed=npad * 4 * (14 + n_out),
+            transcendentals=npad,
+        ),
+        interpret=interpret,
+    )(consts, *inputs)
+
+    flat = [o.reshape(-1)[:n] for o in out]
+    ddet_hi = jnp.stack([flat[6 * r] for r in range(3)])
+    ddet_lo = jnp.stack([flat[6 * r + 1] for r in range(3)])
+    dqr_hi = jnp.stack([flat[6 * r + 2] for r in range(3)])
+    dqr_lo = jnp.stack([flat[6 * r + 3] for r in range(3)])
+    ddr_hi = jnp.stack([flat[6 * r + 4] for r in range(3)])
+    ddr_lo = jnp.stack([flat[6 * r + 5] for r in range(3)])
+    return (ddet_hi, ddet_lo, dqr_hi, dqr_lo, ddr_hi, ddr_lo,
+            flat[18], flat[19])
+
+
+@jax.jit
+def detector_reference(consts, dq_hi, dq_lo, dd_hi, dd_lo,
+                       dsum_hi, dsum_lo):
+    """Pure-jnp twin of :func:`detector_pallas` (same detector_chain,
+    with the EFT value barriers XLA needs) — the off-TPU / CI path."""
+    df = _make_df_ops(True)
+    dq = [(dq_hi[r], dq_lo[r]) for r in range(3)]
+    dd = [(dd_hi[r], dd_lo[r]) for r in range(3)]
+    ddet, dqr, ddr, dtot = detector_chain(
+        df, lambda k: consts[0, k], dq, dd, (dsum_hi, dsum_lo))
+
+    def pack(v, w):
+        return jnp.stack([v[r][w] for r in range(3)])
+
+    return (pack(ddet, 0), pack(ddet, 1), pack(dqr, 0), pack(dqr, 1),
+            pack(ddr, 0), pack(ddr, 1), dtot[0], dtot[1])

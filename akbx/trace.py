@@ -297,6 +297,49 @@ def trace_df(system: OpticalSystem, rays: jnp.ndarray,
     return TraceResult(points, dirs, normals, segs, valid)
 
 
+def _dev32_scan(consts32, dp0, dd0):
+    """The plain-f32 deviation bounce chain (the scan body of
+    :func:`trace_dev32`), shared with the fast-engine backward twin.
+    Returns ((dq_s, dd_s, n_s, dt_s), valid) with leading dim n_mirr."""
+    F32 = jnp.float32
+
+    def bounce(carry, const):
+        dp, dd, valid = carry
+        (M, bvec, Di, Dn, Ti, A_nom, Bp_nom, rho, gC, gA, branch,
+         Pi) = const
+        Mdp = M @ dp
+        Mdd = M @ dd
+        dC = gC @ dp + jnp.sum(Mdp * dp, axis=0)
+        dA = gA @ dd + jnp.sum(Mdd * dd, axis=0)
+        dB = gC @ dd + gA @ dp + 2.0 * jnp.sum(Mdp * dd, axis=0)
+        R = (dA * Ti + dB) * Ti + dC + rho
+        A_full = dA + A_nom
+        Bp = 2.0 * dA * Ti + dB + Bp_nom
+        disc = Bp * Bp - 4.0 * A_full * R
+        ok = disc > 0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        sgn = jnp.where(Bp >= 0, F32(1.0), F32(-1.0))
+        qq = -0.5 * (Bp + sgn * sq)
+        safe_q = jnp.where(qq != 0, qq, F32(1.0))
+        safe_A = jnp.where(A_full != 0, A_full, F32(1.0))
+        t_plus = jnp.where(Bp >= 0, R / safe_q, qq / safe_A)
+        t_minus = jnp.where(Bp >= 0, qq / safe_A, R / safe_q)
+        dt = jnp.where(branch >= 0, t_plus, t_minus)
+        valid = valid & ok
+
+        d_full = dd + Di[:, None]
+        dq = dp + Ti * dd + dt * d_full
+        nvec = bvec[:, None] + 2.0 * (M @ dq)
+        n_unit = nvec / jnp.linalg.norm(nvec, axis=0, keepdims=True)
+        refl = d_full - 2.0 * jnp.sum(d_full * n_unit, axis=0) * n_unit
+        dd_new = refl - Dn[:, None]
+        return (dq, dd_new, valid), (dq, dd_new, n_unit, dt)
+
+    valid0 = jnp.ones(dp0.shape[1], dtype=bool)
+    (_, _, valid), ys = jax.lax.scan(bounce, (dp0, dd0, valid0), consts32)
+    return ys, valid
+
+
 def trace_dev32(system: OpticalSystem, rays: jnp.ndarray,
                 origins: jnp.ndarray, chief_idx: int | None = None
                 ) -> TraceResult:
@@ -332,42 +375,7 @@ def trace_dev32(system: OpticalSystem, rays: jnp.ndarray,
 
     dd0 = (rays - chief_d0).astype(F32)    # (3, N)
     dp0 = (origins - chief_p0).astype(F32)
-
-    def bounce(carry, const):
-        dp, dd, valid = carry
-        (M, bvec, Di, Dn, Ti, A_nom, Bp_nom, rho, gC, gA, branch,
-         Pi) = const
-        Mdp = M @ dp
-        Mdd = M @ dd
-        dC = gC @ dp + jnp.sum(Mdp * dp, axis=0)
-        dA = gA @ dd + jnp.sum(Mdd * dd, axis=0)
-        dB = gC @ dd + gA @ dp + 2.0 * jnp.sum(Mdp * dd, axis=0)
-        R = (dA * Ti + dB) * Ti + dC + rho
-        A_full = dA + A_nom
-        Bp = 2.0 * dA * Ti + dB + Bp_nom
-        disc = Bp * Bp - 4.0 * A_full * R
-        ok = disc > 0
-        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
-        sgn = jnp.where(Bp >= 0, F32(1.0), F32(-1.0))
-        qq = -0.5 * (Bp + sgn * sq)
-        safe_q = jnp.where(qq != 0, qq, F32(1.0))
-        safe_A = jnp.where(A_full != 0, A_full, F32(1.0))
-        t_plus = jnp.where(Bp >= 0, R / safe_q, qq / safe_A)
-        t_minus = jnp.where(Bp >= 0, qq / safe_A, R / safe_q)
-        dt = jnp.where(branch >= 0, t_plus, t_minus)
-        valid = valid & ok
-
-        d_full = dd + Di[:, None]
-        dq = dp + Ti * dd + dt * d_full
-        nvec = bvec[:, None] + 2.0 * (M @ dq)
-        n_unit = nvec / jnp.linalg.norm(nvec, axis=0, keepdims=True)
-        refl = d_full - 2.0 * jnp.sum(d_full * n_unit, axis=0) * n_unit
-        dd_new = refl - Dn[:, None]
-        return (dq, dd_new, valid), (dq, dd_new, n_unit, dt)
-
-    valid0 = jnp.ones(N, dtype=bool)
-    (_, _, valid), (dq_s, dd_s, n_s, dt_s) = jax.lax.scan(
-        bounce, (dp0, dd0, valid0), consts32)
+    (dq_s, dd_s, n_s, dt_s), valid = _dev32_scan(consts32, dp0, dd0)
 
     points = tuple(Ps[i][:, None] + dq_s[i].astype(f64)
                    for i in range(n_mirr))
@@ -412,7 +420,7 @@ def _trace_pallas_core(system, rays, origins, chief_idx: int,
         outs = tk.trace_deviation_reference(consts, dp64, dd64, n_mirr)
     else:
         outs = tk.trace_deviation_pallas(consts, dp64, dd64, n_mirr)
-    dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, val = outs
+    dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, _dsum_hi, _dsum_lo, val = outs
 
     def f64_of(hi, lo):
         return hi.astype(f64) + lo.astype(f64)
@@ -464,6 +472,377 @@ def trace_pallas(system: OpticalSystem, rays: jnp.ndarray,
         chief_idx = rays.shape[1] // 2
     return _trace_pallas_core(system, rays, origins, int(chief_idx),
                               bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fast engine: the full run() per-ray pipeline (trace -> tilt removal ->
+# detector planes -> OPL) on the Pallas deviation kernels.  The generic
+# pallas path leaves ~100 f64-emulated ops/ray (arctan, plane intersects,
+# norms) in the live XLA graph after the bounce kernel — on TPU that
+# dominates the kernel itself.  Here every per-ray stage is deviation-form
+# df32 (kernels) or f32 (reductions); f64 appears only in per-chief
+# scalars and in materializations that XLA dead-code-eliminates when the
+# caller consumes the f32 deviation outputs instead.
+#
+# custom_vjp boundary: at the RAW deviation level.  The forward returns
+# f32 (hi, lo) deviation arrays plus f64 chief scalars; all f64
+# reconstruction happens OUTSIDE the boundary in ordinary autodiff-land,
+# so both the forward materializations and their backward cotangent
+# chains vanish for unused outputs.  The backward twin recomputes the
+# same deviations in plain f32 (lo words = 0): EFT error terms have
+# near-zero derivatives, so the Jacobians agree to f32 rounding (same
+# argument as trace_dev32; measured in tests/test_trace_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+class FastDevOut(NamedTuple):
+    """Raw deviation-level outputs of the fast engine core.
+
+    Per-ray f32 arrays (hi/lo double-words) + f64 chief-ray scalars.
+    ``ddet``/``dtot`` are deviations of the (tilt-corrected) detector
+    intersection / total OPL from the chief's; ``det_c``/``total_chief``
+    are the chief values to add back.
+    """
+
+    dq_hi: jnp.ndarray      # (3*nm, N) per-mirror intersection deviations
+    dq_lo: jnp.ndarray
+    od_hi: jnp.ndarray      # (3*nm, N) reflected-direction deviations
+    od_lo: jnp.ndarray
+    dt_hi: jnp.ndarray      # (nm, N) leg-length deviations
+    dt_lo: jnp.ndarray
+    ddet_hi: jnp.ndarray    # (3, N) focal-plane intersection deviations
+    ddet_lo: jnp.ndarray
+    ddet2_hi: jnp.ndarray   # (3, N) defocused-plane deviations
+    ddet2_lo: jnp.ndarray
+    dqr_hi: jnp.ndarray     # (3, N) tilt-rotated exit-point deviations
+    dqr_lo: jnp.ndarray
+    ddr_hi: jnp.ndarray     # (3, N) tilt-rotated exit-dir deviations
+    ddr_lo: jnp.ndarray
+    dtot_hi: jnp.ndarray    # (N,) OPL deviation to the focal plane
+    dtot_lo: jnp.ndarray
+    dtot2_hi: jnp.ndarray   # (N,) OPL deviation to the defocused plane
+    dtot2_lo: jnp.ndarray
+    valid: jnp.ndarray      # (N,) bool
+    theta_y: jnp.ndarray    # tilt-removal angles (f64 scalars)
+    theta_z: jnp.ndarray
+    focus: jnp.ndarray      # (3,) pre-tilt mean focus (rotation pivot)
+    P_chief: jnp.ndarray    # (nm, 3) chief hit points
+    D_chief: jnp.ndarray    # (nm, 3) chief outgoing directions
+    T_chief: jnp.ndarray    # (nm,) chief leg lengths
+    P4r: jnp.ndarray        # (3,) tilt-rotated chief exit point
+    D4r: jnp.ndarray        # (3,) tilt-rotated chief exit direction
+    det_c: jnp.ndarray      # (3,) chief focal-plane intersection
+    det_c2: jnp.ndarray     # (3,) chief defocused-plane intersection
+    total_chief: jnp.ndarray   # chief OPL to the focal plane
+    total2_chief: jnp.ndarray  # chief OPL to the defocused plane
+
+
+def _tilt_stats(D4, dd4_32, valid, tilt: bool, tilt_mode: str):
+    """Tilt-removal angles from exit-direction deviations.
+
+    ``a = arctan(d_w / d_x)`` decomposes exactly into the chief angle
+    (f64 scalar) plus ``arctan((u - v) / (1 + u v))`` with u the per-ray
+    and v the chief slope — the difference term is small, so plain f32
+    resolves it to ~1e-10 rad absolute, far below the 1e-3 rad angles.
+    Semantics match :func:`tilt_correct` (reference :3564-3601 / the
+    III_I extremes estimator).
+    """
+    from akbx.core import trig as tg
+
+    f64 = jnp.float64
+    if not tilt:
+        z = jnp.zeros((), dtype=f64)
+        return z, z
+    D432 = D4.astype(jnp.float32)
+
+    def dev_angle(comp):
+        num = D432[0] * dd4_32[comp] - D432[comp] * dd4_32[0]
+        den = D432[0] * (D432[0] + dd4_32[0])
+        w = num / den
+        u = (D432[comp] + dd4_32[comp]) / (D432[0] + dd4_32[0])
+        v = D432[comp] / D432[0]
+        return jnp.arctan(w / (1.0 + u * v))
+
+    da_zx = dev_angle(2)
+    da_yx = dev_angle(1)
+    # chief angle in f64; the f32 rounding of the chief direction inside
+    # dev_angle enters the reconstruction only at second order
+    # (measured net bias ~2e-9 rad at 9x9 -> ~6e-10 m on the detector,
+    # far under the 5e-9 m parity tolerance)
+    a_zx_c = tg.arctan(D4[2] / D4[0])
+    a_yx_c = tg.arctan(D4[1] / D4[0])
+    if tilt_mode == "extremes":
+        big = jnp.float32(jnp.inf)
+
+        def mid(a):
+            return 0.5 * (jnp.min(jnp.where(valid, a, big))
+                          + jnp.max(jnp.where(valid, a, -big)))
+
+        m_zx, m_yx = mid(da_zx), mid(da_yx)
+    else:
+        m_zx = masked_mean(da_zx, valid)
+        m_yx = masked_mean(da_yx, valid)
+    theta_y = -(a_zx_c + m_zx.astype(f64))
+    theta_z = a_yx_c + m_yx.astype(f64)
+    return theta_y, theta_z
+
+
+def _pre_tilt_focus(P4, D4, det_x, dq4_32, dd4_32, valid):
+    """Masked mean of the pre-tilt focal-plane intersections (the tilt
+    rotation pivot, reference :3591), chief + f32 deviation mean."""
+    f64 = jnp.float64
+    t_c0 = (det_x - P4[0]) / D4[0]
+    det_c0 = P4 + t_c0 * D4
+    D432 = D4.astype(jnp.float32)
+    tc032 = t_c0.astype(jnp.float32)
+    den = D432[0] + dd4_32[0]
+    dt0 = -(dq4_32[0] + tc032 * dd4_32[0]) / den
+    ddet0 = dq4_32 + tc032 * dd4_32 + dt0 * (D432[:, None] + dd4_32)
+    return det_c0 + masked_mean(ddet0, valid[None, :], axis=1).astype(f64)
+
+
+def _tilt_rotation(theta_y, theta_z):
+    """R = Ry(-theta_y) @ Rz(-theta_z) — the tilt-removal rotation
+    (:func:`akbx.core.geometry.rotate_vectors_yz` with negated angles)."""
+    Ry = geo.rodrigues(jnp.array([0.0, 1.0, 0.0]), -theta_y)
+    Rz = geo.rodrigues(jnp.array([0.0, 0.0, 1.0]), -theta_z)
+    return Ry @ Rz
+
+
+def _det_plane_scalars(P4r, D4r, det_x):
+    """Chief detector-plane constants: (t_c, det_c, L)."""
+    from akbx.core import trig as tg
+
+    t_c = (det_x - P4r[0]) / D4r[0]
+    det_c = P4r + t_c * D4r
+    L = jnp.abs(t_c) * tg.sqrt(jnp.sum(D4r * D4r))
+    return t_c, det_c, L
+
+
+def _det_stage_f32(R, D4r, t_c, L, dq32, dd32, dsum32):
+    """Plain-f32 twin of the detector kernel's deviation algebra."""
+    F32 = jnp.float32
+    R32 = R.astype(F32)
+    D432 = D4r.astype(F32)
+    tc32 = t_c.astype(F32)
+    L32 = L.astype(F32)
+    dqr = R32 @ dq32
+    ddr = R32 @ dd32
+    den = D432[0] + ddr[0]
+    dt = -(dqr[0] + tc32 * ddr[0]) / den
+    d_full = D432[:, None] + ddr
+    delta = tc32 * ddr + dt * d_full
+    ddet = dqr + delta
+    u = (2.0 * tc32 * jnp.sum(D432[:, None] * delta, axis=0)
+         + jnp.sum(delta * delta, axis=0))
+    dlast = u / (L32 + jnp.sqrt(jnp.maximum(L32 * L32 + u, 0.0)))
+    dtot = dsum32 + dlast
+    return ddet, dqr, ddr, dtot
+
+
+def _fast_scalars(system, rays, origins, det_x, det_x2, chief_idx):
+    """Chief trace + deviation constants shared by forward and twin."""
+    chief_d0 = rays[:, chief_idx:chief_idx + 1]
+    chief_p0 = origins[:, chief_idx:chief_idx + 1]
+    chief = trace(system, chief_d0, chief_p0)
+    P = [p[:, 0] for p in chief.points]
+    D = [d[:, 0] for d in chief.directions]
+    T = [s[0] for s in chief.segments]
+    consts64 = _deviation_constants(system, P, D, T, chief_p0)
+    return chief_d0, chief_p0, consts64
+
+
+def _fast_post_scalars(consts64, det_x, det_x2, theta_y, theta_z, focus,
+                       tilt: bool):
+    """Rotation + per-plane chief constants of the detector stage."""
+    f64 = jnp.float64
+    Ts = consts64[4]
+    P4 = consts64[-1][-1]
+    D4 = consts64[3][-1]
+    if tilt:
+        R = _tilt_rotation(theta_y, theta_z)
+        P4r = R @ (P4 - focus) + focus
+        D4r = R @ D4
+    else:
+        R = jnp.eye(3, dtype=f64)
+        P4r, D4r = P4, D4
+    t_c, det_c, L = _det_plane_scalars(P4r, D4r, det_x)
+    t_c2, det_c2, L2 = _det_plane_scalars(P4r, D4r, det_x2)
+    T_sum = jnp.sum(Ts)
+    return (R, P4r, D4r, t_c, det_c, L, t_c2, det_c2, L2,
+            T_sum + L, T_sum + L2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fast_devs(system, rays, origins, det_x, det_x2, chief_idx: int,
+               tilt: bool, tilt_mode: str, interpret: bool):
+    """Deviation-level fast engine: Pallas bounce + detector kernels.
+
+    Forward: Mosaic df32 kernels (jnp twins when ``interpret``).
+    Backward: the VJP of :func:`_fast_devs_f32` (plain f32, lo words 0).
+    """
+    from akbx.kernels import trace_kernel as tk
+
+    chief_d0, chief_p0, consts64 = _fast_scalars(
+        system, rays, origins, det_x, det_x2, chief_idx)
+    (Ms, bvecs, Ds, Dns, Ts, A_noms, Bp_noms, rhos, gCs, gAs, branches,
+     Ps) = consts64
+    n_mirr = Ps.shape[0]
+    consts = tk.pack_consts(Ms, gCs, gAs, Ds, Dns, Ts, A_noms, Bp_noms,
+                            rhos, branches, bvecs)
+    dp64 = origins - chief_p0
+    dd64 = rays - chief_d0
+    if interpret:
+        outs = tk.trace_deviation_reference(consts, dp64, dd64, n_mirr)
+    else:
+        outs = tk.trace_deviation_pallas(consts, dp64, dd64, n_mirr)
+    (dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo, dsum_hi, dsum_lo,
+     val) = outs
+    valid = val[0] > 0.5
+    s = slice(3 * (n_mirr - 1), 3 * n_mirr)
+    q4_hi, q4_lo = dq_hi[s], dq_lo[s]
+    d4_hi, d4_lo = od_hi[s], od_lo[s]
+    P4, D4 = Ps[-1], Dns[-1]
+
+    theta_y, theta_z = _tilt_stats(D4, d4_hi, valid, tilt, tilt_mode)
+    focus = _pre_tilt_focus(P4, D4, det_x, q4_hi, d4_hi, valid)
+    (R, P4r, D4r, t_c, det_c, L, t_c2, det_c2, L2, total_chief,
+     total2_chief) = _fast_post_scalars(consts64, det_x, det_x2,
+                                        theta_y, theta_z, focus, tilt)
+
+    dfn = tk.detector_reference if interpret else tk.detector_pallas
+    dcon = tk.pack_det_consts(R, D4r, t_c, L)
+    dcon2 = tk.pack_det_consts(R, D4r, t_c2, L2)
+    (ddet_hi, ddet_lo, dqr_hi, dqr_lo, ddr_hi, ddr_lo, dtot_hi,
+     dtot_lo) = dfn(dcon, q4_hi, q4_lo, d4_hi, d4_lo, dsum_hi, dsum_lo)
+    (ddet2_hi, ddet2_lo, _, _, _, _, dtot2_hi, dtot2_lo) = dfn(
+        dcon2, q4_hi, q4_lo, d4_hi, d4_lo, dsum_hi, dsum_lo)
+
+    return FastDevOut(dq_hi, dq_lo, od_hi, od_lo, dt_hi, dt_lo,
+                      ddet_hi, ddet_lo, ddet2_hi, ddet2_lo,
+                      dqr_hi, dqr_lo, ddr_hi, ddr_lo,
+                      dtot_hi, dtot_lo, dtot2_hi, dtot2_lo, valid,
+                      theta_y, theta_z, focus, Ps, Dns, Ts,
+                      P4r, D4r, det_c, det_c2, total_chief, total2_chief)
+
+
+def _fast_devs_f32(system, rays, origins, det_x, det_x2, chief_idx: int,
+                   tilt: bool, tilt_mode: str):
+    """Plain-f32 twin of :func:`_fast_devs` (backward pass)."""
+    F32 = jnp.float32
+    chief_d0, chief_p0, consts64 = _fast_scalars(
+        system, rays, origins, det_x, det_x2, chief_idx)
+    consts32 = tuple(c.astype(F32) for c in consts64)
+    dp0 = (origins - chief_p0).astype(F32)
+    dd0 = (rays - chief_d0).astype(F32)
+    (dq_s, dd_s, _, dt_s), valid = _dev32_scan(consts32, dp0, dd0)
+    dq4, dd4 = dq_s[-1], dd_s[-1]
+    dsum32 = jnp.sum(dt_s, axis=0)
+    Ps, Dns, Ts = consts64[-1], consts64[3], consts64[4]
+    P4, D4 = Ps[-1], Dns[-1]
+
+    theta_y, theta_z = _tilt_stats(D4, dd4, valid, tilt, tilt_mode)
+    focus = _pre_tilt_focus(P4, D4, det_x, dq4, dd4, valid)
+    (R, P4r, D4r, t_c, det_c, L, t_c2, det_c2, L2, total_chief,
+     total2_chief) = _fast_post_scalars(consts64, det_x, det_x2,
+                                        theta_y, theta_z, focus, tilt)
+
+    ddet, dqr, ddr, dtot = _det_stage_f32(R, D4r, t_c, L, dq4, dd4, dsum32)
+    ddet2, _, _, dtot2 = _det_stage_f32(R, D4r, t_c2, L2, dq4, dd4, dsum32)
+
+    n_mirr = Ps.shape[0]
+    z3 = jnp.zeros((3 * n_mirr, rays.shape[1]), dtype=F32)
+    zN = jnp.zeros_like(dtot)
+    dq_flat = dq_s.reshape(3 * n_mirr, -1)
+    od_flat = dd_s.reshape(3 * n_mirr, -1)
+    return FastDevOut(dq_flat, z3, od_flat, z3, dt_s, jnp.zeros_like(dt_s),
+                      ddet, jnp.zeros_like(ddet), ddet2,
+                      jnp.zeros_like(ddet2), dqr, jnp.zeros_like(dqr),
+                      ddr, jnp.zeros_like(ddr), dtot, zN, dtot2, zN,
+                      valid, theta_y, theta_z, focus, Ps, Dns, Ts,
+                      P4r, D4r, det_c, det_c2, total_chief, total2_chief)
+
+
+def _fast_devs_fwd(system, rays, origins, det_x, det_x2, chief_idx,
+                   tilt, tilt_mode, interpret):
+    out = _fast_devs(system, rays, origins, det_x, det_x2, chief_idx,
+                     tilt, tilt_mode, interpret)
+    return out, (system, rays, origins, det_x, det_x2)
+
+
+def _fast_devs_bwd(chief_idx, tilt, tilt_mode, interpret, residuals, cot):
+    system, rays, origins, det_x, det_x2 = residuals
+    _, vjp = jax.vjp(
+        lambda s, r, o, x1, x2: _fast_devs_f32(s, r, o, x1, x2, chief_idx,
+                                               tilt, tilt_mode),
+        system, rays, origins, det_x, det_x2)
+    return vjp(cot)
+
+
+_fast_devs.defvjp(_fast_devs_fwd, _fast_devs_bwd)
+
+
+def _f64_of(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def run_fast(system: OpticalSystem, rays, origins, det_x, det_x2,
+             chief_idx: int | None = None, tilt_correction: bool = True,
+             tilt_mode: str = "mean", interpret: bool | None = None):
+    """The precision='pallas' engine pass (trace through OPL) — returns
+    the same physical quantities as the f64 path of :func:`run` plus f32
+    deviation-form fields for throughput-critical losses.
+
+    Returns a dict with keys: detcenter, detcenter2, total, total2,
+    valid, theta_y, theta_z, focus, trace (TraceResult, lazily
+    materialized f64 — DCE'd when unused), w32 (demeaned OPL deviation,
+    f32), w32_2, ddet32 (f32 detcenter deviations).
+    """
+    if interpret is None:
+        from akbx.wave import _tpu_is_default
+
+        interpret = not _tpu_is_default()
+    if chief_idx is None:
+        chief_idx = rays.shape[1] // 2
+    d = _fast_devs(system, rays, origins, det_x, det_x2, int(chief_idx),
+                   bool(tilt_correction), str(tilt_mode), bool(interpret))
+
+    detcenter = d.det_c[:, None] + _f64_of(d.ddet_hi, d.ddet_lo)
+    detcenter2 = d.det_c2[:, None] + _f64_of(d.ddet2_hi, d.ddet2_lo)
+    total = d.total_chief + _f64_of(d.dtot_hi, d.dtot_lo)
+    total2 = d.total2_chief + _f64_of(d.dtot2_hi, d.dtot2_lo)
+
+    # f32 deviation-form wavefront/spot fields (demeaned over valid rays)
+    mh = masked_mean(d.dtot_hi, d.valid)
+    ml = masked_mean(d.dtot_lo, d.valid)
+    w32 = (d.dtot_hi - mh) + (d.dtot_lo - ml)
+    mh2 = masked_mean(d.dtot2_hi, d.valid)
+    ml2 = masked_mean(d.dtot2_lo, d.valid)
+    w32_2 = (d.dtot2_hi - mh2) + (d.dtot2_lo - ml2)
+
+    # full TraceResult, materialized in f64 (XLA drops unused pieces)
+    n_mirr = d.P_chief.shape[0]
+    points, dirs, normals, segs = [], [rays], [], []
+    for m in range(n_mirr):
+        pts = d.P_chief[m][:, None] + _f64_of(d.dq_hi[3 * m:3 * m + 3],
+                                              d.dq_lo[3 * m:3 * m + 3])
+        points.append(pts)
+        dirs.append(d.D_chief[m][:, None] + _f64_of(d.od_hi[3 * m:3 * m + 3],
+                                                    d.od_lo[3 * m:3 * m + 3]))
+        normals.append(geo.surface_normal(system.mirrors[m].coeffs, pts))
+        segs.append(d.T_chief[m] + _f64_of(d.dt_hi[m], d.dt_lo[m]))
+    # tilt-corrected exit point/dir (replaces the last mirror's, same as
+    # the f64 path's result._replace after tilt_correct)
+    points[-1] = d.P4r[:, None] + _f64_of(d.dqr_hi, d.dqr_lo)
+    dirs[-1] = d.D4r[:, None] + _f64_of(d.ddr_hi, d.ddr_lo)
+    tr = TraceResult(tuple(points), tuple(dirs), tuple(normals),
+                     tuple(segs), d.valid)
+    return {
+        "detcenter": detcenter, "detcenter2": detcenter2,
+        "total": total, "total2": total2, "valid": d.valid,
+        "theta_y": d.theta_y, "theta_z": d.theta_z, "focus": d.focus,
+        "trace": tr, "w32": w32, "w32_2": w32_2, "ddet32": d.ddet_hi,
+    }
 
 
 def exit_pupil_uniform_angles(result: TraceResult, rand_p0h, rand_p0v,
@@ -556,6 +935,11 @@ class EngineResult(NamedTuple):
     focus_apprx: jnp.ndarray
     rand_p0h: jnp.ndarray
     rand_p0v: jnp.ndarray
+    # deviation-form f32 fields (precision='pallas' only, else None):
+    # demeaned OPL deviation [m] and detcenter deviations from the chief —
+    # the throughput-loss inputs that keep the whole fwd+bwd graph f32
+    w32: jnp.ndarray | None = None
+    ddet32: jnp.ndarray | None = None
 
 
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
@@ -578,8 +962,32 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
     rand_p0v = fan_angles(system.fan_v, n_v, mode=fan_mode)
     src = system.source[:, None] * jnp.ones((1, n_h * n_v))
 
+    has_figure = any(m.fig_coeffs.shape != (1, 1) for m in system.mirrors)
+    if precision == "pallas" and not has_figure and ray_sharding is None:
+        # full fast path: trace AND post-pipeline on the deviation kernels
+        det_x = system.s2f_middle + defocus
+        rays = ray_fan(rand_p0h, rand_p0v)
+        if exit_pupil_uniform:
+            pre = trace_pallas(system, rays, src)
+            new_h, new_v = exit_pupil_uniform_angles(
+                pre, rand_p0h, rand_p0v, n_h, n_v, stage=uniform_stage)
+            rays = ray_fan(new_h, new_v)
+            rand_p0h, rand_p0v = new_h, new_v
+        out = run_fast(system, rays, src, det_x, det_x + defocus_wave,
+                       tilt_correction=tilt_correction, tilt_mode=tilt_mode)
+        v = out["valid"]
+        mean_focus = masked_mean(out["detcenter"], v[None, :], axis=1)
+        dist_err2 = (out["total2"] - masked_mean(out["total2"], v)) * 1e9
+        sph = jnp.linalg.norm(out["detcenter2"] - mean_focus[:, None],
+                              axis=0) * 1e9
+        wave2 = dist_err2 - sph
+        return EngineResult(out["trace"], out["detcenter"],
+                            out["detcenter2"], out["total"], out["total2"],
+                            wave2, v, out["theta_y"], out["theta_z"],
+                            out["focus"], rand_p0h, rand_p0v,
+                            out["w32"], out["ddet32"])
+
     if precision in ("df32", "pallas"):
-        has_figure = any(m.fig_coeffs.shape != (1, 1) for m in system.mirrors)
         if has_figure:
             trace_fn = trace  # figure fields live on the f64 path
         else:

@@ -59,6 +59,14 @@ def loss(vec):
     res = trace.run(system, n_h, n_v, defocus=vec[0],
                     exit_pupil_uniform=False, tilt_correction=True,
                     precision=precision)
+    if precision == "pallas":
+        # production-loss form: the engine's f32 deviation outputs
+        # (demeaned OPL deviation + detcenter deviations) — the same
+        # physical objective as below, but consuming the deviation fields
+        # keeps the whole fwd+bwd graph off the emulated-f64 path
+        sy, sz = trace.spot_size(res.ddet32, res.valid)
+        return (jnp.sum(jnp.where(res.valid, res.w32, 0.0) ** 2) * 1e18
+                + sy + sz)
     w = res.total_dist - trace.masked_mean(res.total_dist, res.valid)
     sy, sz = trace.spot_size(res.detcenter, res.valid)
     return jnp.sum(jnp.where(res.valid, w, 0.0) ** 2) * 1e18 + sy + sz
@@ -166,39 +174,51 @@ def main():
     probe_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "600"))
     main_timeout = int(os.environ.get("BENCH_TPU_MAIN_TIMEOUT", "1500"))
 
-    f64 = df32 = None
+    pallas = f64 = df32 = None
     tpu_ok = False
-    for attempt in (1, 2):
-        probe, err = run_worker(f"tpu-probe-{attempt}", tpu_env, 128, "f64",
-                                probe_timeout)
+    # probe with the Pallas production path (fast compile); if the Mosaic
+    # path itself is broken, fall back to an f64 probe so the bench can
+    # still record the f64 engine on hardware
+    for attempt, prec in ((1, "pallas"), (2, "pallas"), (3, "f64")):
+        probe, err = run_worker(f"tpu-probe-{attempt}-{prec}", tpu_env, 128,
+                                prec, probe_timeout)
         if probe is not None and probe.get("backend") in ("tpu", "axon"):
             tpu_ok = True
-            log(f"probe ok: backend={probe['backend']} device={probe['device']} "
+            log(f"probe ok: backend={probe['backend']} "
+                f"device={probe['device']} precision={prec} "
                 f"compile={probe['compile_s']:.1f}s "
                 f"rays/s={probe['rays_per_s']:.3e}")
             break
-        log(f"TPU probe attempt {attempt} failed: {err}")
+        log(f"TPU probe attempt {attempt} ({prec}) failed: {err}")
 
     if tpu_ok:
+        # production path first (fast compile -> a headline lands even if
+        # the slow-compiling f64 attempt later times out)
+        for attempt in (1, 2):
+            pallas, err = run_worker(f"tpu-pallas-{attempt}", tpu_env, 512,
+                                     "pallas", main_timeout)
+            if pallas is not None:
+                break
+            log(f"TPU pallas 512^2 attempt {attempt} failed: {err}")
         for attempt in (1, 2):
             f64, err = run_worker(f"tpu-f64-{attempt}", tpu_env, 512, "f64",
                                   main_timeout)
             if f64 is not None:
                 break
             log(f"TPU f64 512^2 attempt {attempt} failed: {err}")
-        if f64 is not None:
+        if f64 is not None or pallas is not None:
             df32, err = run_worker("tpu-df32", tpu_env, 512, "df32",
                                    main_timeout)
             if df32 is None:
                 log(f"TPU df32 run failed: {err}")
 
-    if f64 is None:
+    if f64 is None and pallas is None:
         log("falling back to CPU")
-        f64, err = run_worker("cpu-f64", cpu_env, 128, "f64", 1500)
-        if f64 is not None:
-            df32, _ = run_worker("cpu-df32", cpu_env, 128, "df32", 1500)
+        pallas, err = run_worker("cpu-pallas", cpu_env, 128, "pallas", 1500)
+        f64, err2 = run_worker("cpu-f64", cpu_env, 128, "f64", 1500)
 
-    if f64 is None:
+    best = pallas or f64
+    if best is None:
         log(f"CPU fallback also failed: {err}")
         out = {"metric": "akb_rays_per_s_fwd_bwd", "value": 0.0,
                "unit": "rays/s/chip", "vs_baseline": 0.0, "backend": "none"}
@@ -206,23 +226,28 @@ def main():
         print(json.dumps(out))
         return 1
 
-    log(f"backend={f64['backend']} n_rays={f64['n_rays']} "
-        f"compile={f64['compile_s']:.1f}s step={f64['step_s']*1e3:.2f}ms "
-        f"loss={f64['loss']:.3e}")
-    if df32 is not None:
-        log(f"df32: step={df32['step_s']*1e3:.2f}ms "
-            f"rays/s={df32['rays_per_s']:.3e} "
-            f"speedup_vs_f64={df32['rays_per_s']/f64['rays_per_s']:.2f}x")
-    value = f64["rays_per_s"]
+    for tag, rec in (("pallas", pallas), ("f64", f64), ("df32", df32)):
+        if rec is not None:
+            log(f"{tag}: backend={rec['backend']} n_rays={rec['n_rays']} "
+                f"compile={rec['compile_s']:.1f}s "
+                f"step={rec['step_s']*1e3:.2f}ms "
+                f"rays/s={rec['rays_per_s']:.3e} loss={rec['loss']:.3e}")
+    # headline: the production TPU path (Pallas df32 deviation-trace
+    # kernel, BASELINE.md: "Pallas intersect/reflect kernels"); f64/df32
+    # engine numbers are recorded alongside for cross-round continuity
+    value = best["rays_per_s"]
     out = {
         "metric": "akb_rays_per_s_fwd_bwd",
         "value": value,
         "unit": "rays/s/chip",
         "vs_baseline": value / BASELINE_RAYS_PER_S,
-        "backend": f64["backend"],
-        "device": f64.get("device"),
-        "n_rays": f64["n_rays"],
-        "compile_s": round(f64["compile_s"], 1),
+        "backend": best["backend"],
+        "device": best.get("device"),
+        "n_rays": best["n_rays"],
+        "precision": best["precision"],
+        "compile_s": round(best["compile_s"], 1),
+        "f64_rays_per_s": f64["rays_per_s"] if f64 else None,
+        "f64_compile_s": round(f64["compile_s"], 1) if f64 else None,
         "df32_rays_per_s": df32["rays_per_s"] if df32 else None,
         "df32_compile_s": round(df32["compile_s"], 1) if df32 else None,
     }

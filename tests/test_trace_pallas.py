@@ -45,6 +45,50 @@ class TestForwardParity:
                                        atol=1e-7)
 
 
+class TestDevFields:
+    def test_dev_fields_match_materialized(self):
+        """The f32 deviation outputs (w32, ddet32) agree with the f64
+        materialized fields — same physics, chief constant removed."""
+        sys_ = make_system()
+        r = trace.run(sys_, 9, 9, defocus=0.0, exit_pupil_uniform=False,
+                      precision="pallas")
+        w64 = r.total_dist - trace.masked_mean(r.total_dist, r.valid)
+        np.testing.assert_allclose(np.asarray(r.w32), np.asarray(w64),
+                                   atol=2e-9)
+        # detcenter deviations: demeaned ddet32 == demeaned detcenter
+        dd = np.asarray(r.detcenter)
+        dd = dd - dd.mean(axis=1, keepdims=True)
+        d32 = np.asarray(r.ddet32)
+        d32 = d32 - d32.mean(axis=1, keepdims=True)
+        np.testing.assert_allclose(d32, dd, atol=1e-8)
+
+    def test_dev_loss_grad_matches(self):
+        """grad of the deviation-form loss == grad of the f64-field loss
+        (both flow through the same custom_vjp twin)."""
+
+        def loss(vec, dev):
+            sys_ = build_wolter_3_1(WOLTER_3_1_DEFAULT,
+                                    AlignParams.from_vector(vec))
+            res = trace.run(sys_, 9, 9, defocus=vec[0],
+                            exit_pupil_uniform=False, precision="pallas")
+            if dev:
+                sy, sz = trace.spot_size(res.ddet32, res.valid)
+                return (jnp.sum(jnp.where(res.valid, res.w32, 0.0) ** 2)
+                        * 1e18 + sy + sz)
+            w = res.total_dist - trace.masked_mean(res.total_dist,
+                                                   res.valid)
+            sy, sz = trace.spot_size(res.detcenter, res.valid)
+            return (jnp.sum(jnp.where(res.valid, w, 0.0) ** 2) * 1e18
+                    + sy + sz)
+
+        v0 = jnp.zeros(26)
+        g64 = np.asarray(jax.grad(lambda v: loss(v, False))(v0))
+        g32 = np.asarray(jax.grad(lambda v: loss(v, True))(v0))
+        scale = np.abs(g64).max()
+        rel = np.abs(g32 - g64) / np.maximum(np.abs(g64), scale * 1e-6)
+        assert rel.max() < 1e-3, rel.max()
+
+
 class TestBackward:
     def test_grad_matches_f64_path(self):
         """jax.grad through precision='pallas' (custom_vjp: backward =
