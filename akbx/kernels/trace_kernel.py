@@ -467,8 +467,9 @@ def detector_chain(df, get_c, dq, dd, dsum):
 
 
 def _det_kernel(const_ref, *refs, use_barrier: bool):
-    """refs: 14 inputs (dq/dd x 3 x hi/lo, dsum hi/lo), then 16 outputs
-    (ddet 6, dq' 6, dd' 2... see detector_pallas), (8, C) tiles."""
+    """refs: 14 inputs (dq/dd x 3 x hi/lo, dsum hi/lo), then 20 outputs
+    (ddet 6 + dq' 6 + dd' 6 + dtot 2; see detector_pallas), (8, C)
+    tiles."""
     df = _make_df_ops(use_barrier)
     (qxh, qxl, qyh, qyl, qzh, qzl,
      dxh, dxl, dyh, dyl, dzh, dzl, sh, sl) = refs[:14]

@@ -936,10 +936,12 @@ class EngineResult(NamedTuple):
     rand_p0h: jnp.ndarray
     rand_p0v: jnp.ndarray
     # deviation-form f32 fields (precision='pallas' only, else None):
-    # demeaned OPL deviation [m] and detcenter deviations from the chief —
-    # the throughput-loss inputs that keep the whole fwd+bwd graph f32
+    # demeaned OPL deviations [m] (focal / defocused plane) and detcenter
+    # deviations from the chief — the throughput-loss inputs that keep
+    # the whole fwd+bwd graph f32
     w32: jnp.ndarray | None = None
     ddet32: jnp.ndarray | None = None
+    w32_2: jnp.ndarray | None = None
 
 
 def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
@@ -985,7 +987,7 @@ def run(system: OpticalSystem, n_h: int, n_v: int, defocus,
                             out["detcenter2"], out["total"], out["total2"],
                             wave2, v, out["theta_y"], out["theta_z"],
                             out["focus"], rand_p0h, rand_p0v,
-                            out["w32"], out["ddet32"])
+                            out["w32"], out["ddet32"], out["w32_2"])
 
     if precision in ("df32", "pallas"):
         if has_figure:

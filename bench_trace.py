@@ -47,12 +47,18 @@ def main():
 
     backend = jax.default_backend()
     records = []
+    # which stages to run (comma list; default all) — the full battery is
+    # ~5 x ~600 s XLA:TPU compiles on this 2-vCPU box, so callers select
+    stages = set(os.environ.get(
+        "TRACE_STAGES", "accuracy,grad,throughput,kernel").split(","))
 
     def flush():
         with open(ARTIFACT, "w") as fh:
             json.dump({"records": records, "backend": backend}, fh, indent=1)
 
     def emit(rec):
+        if "stage disabled" in str(rec.get("error", "")):
+            return  # deselected via TRACE_STAGES, not a failure
         records.append(rec)
         print(json.dumps(rec))
         flush()
@@ -82,6 +88,8 @@ def main():
     n_acc = int(os.environ.get("TRACE_BENCH_NACC", "33"))
     fwd = lambda v, p: loss_fn(v, n_acc, p)  # noqa: E731
     try:
+        if "accuracy" not in stages:
+            raise RuntimeError("stage disabled via TRACE_STAGES")
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             t0 = time.time()
@@ -111,6 +119,8 @@ def main():
 
     # ---- stage 1b: hardware grad parity vs interpret-mode pallas -------
     try:
+        if "grad" not in stages:
+            raise RuntimeError("stage disabled via TRACE_STAGES")
         gfn = jax.value_and_grad(lambda v, p: fwd(v, p)[0], argnums=0)
         t0 = time.time()
         _, grad_hw = jax.jit(lambda v: gfn(v, "pallas"))(v0)
@@ -148,6 +158,8 @@ def main():
             lambda v: loss_fn(v, n, "pallas", dev=True)[0])),
     ):
         try:
+            if "throughput" not in stages:
+                raise RuntimeError("stage disabled via TRACE_STAGES")
             fn = make()
             t0 = time.time()
             out = fn(v0)
@@ -174,8 +186,12 @@ def main():
             emit({"stage": f"throughput_{tag}_{n}", "error":
                   f"{type(exc).__name__}: {exc}"[:2000]})
 
-    # ---- stage 3: kernel-only at 512^2 --------------------------------
+    # ---- stage 3: kernel-only (Mosaic compile is fast, ~11 s) ---------
     try:
+        if "kernel" not in stages:
+            raise RuntimeError("stage disabled via TRACE_STAGES")
+        n = int(os.environ.get("TRACE_BENCH_NKERN", str(n)))
+        n_rays = n * n
         from akbx.kernels import trace_kernel as tk
 
         system = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.zeros())
@@ -214,12 +230,12 @@ def main():
             if time.time() - t0 > 3.0 or n_iter >= 2000:
                 break
         dt = (time.time() - t0) / n_iter
-        emit({"stage": "kernel_only_512", "device": backend,
+        emit({"stage": f"kernel_only_{n}", "device": backend,
               "interpret": interp, "n_rays": n_rays,
               "compile_s": round(compile_s, 1), "step_s": dt,
               "rays_per_s": n_rays / dt})
     except Exception as exc:
-        emit({"stage": "kernel_only_512", "error":
+        emit({"stage": "kernel_only", "error":
               f"{type(exc).__name__}: {exc}"[:2000]})
 
 

