@@ -105,6 +105,10 @@ def measure(step, n_rays: int, compile_s: float, precision: str,
         for j in range(25):
             val, grad = step(v0 + (n_iter + j) * 1e-15)
         jax.block_until_ready(grad)
+        float(val)  # hard host sync: the remote axon runtime has been
+        # seen returning from block_until_ready before identical queued
+        # dispatches finished; a scalar fetch of the LAST step's value
+        # cannot complete before every prior FIFO execution has
         n_iter += 25
         if time.time() - t0 > min_wall_s or n_iter >= 2000:
             break

@@ -136,8 +136,16 @@ def main():
         scale = max(np.abs(gg).max(), 1e-30)
         grad_rel = float((np.abs(gp - gg)
                           / np.maximum(np.abs(gg), scale * 1e-6)).max())
+        # the 1e-6-of-scale floor makes f32 noise on near-zero components
+        # read as O(1) "relative error"; record the full vectors + the
+        # scale-relative error so the comparison is interpretable
         emit({"stage": "grad_parity_hw_vs_interpret", "device": backend,
               "n": n_acc, "grad_max_rel_err": grad_rel,
+              "grad_max_err_rel_to_scale":
+              float(np.abs(gp - gg).max() / scale),
+              "grad_norm_rel_err":
+              float(np.linalg.norm(gp - gg) / np.linalg.norm(gg)),
+              "grad_hw": gp.tolist(), "grad_interpret": gg.tolist(),
               "hw_compile_s": round(hw_s, 1),
               "interpret_cpu_s": round(ci_s, 1)})
     except Exception as exc:
