@@ -100,18 +100,20 @@ def log(msg):
 
 
 def run_worker(tag, env_overrides, n, precision, mode, timeout):
+    """``tag`` is the workload/manifest key; records are tagged mode-tag."""
+    rec_tag = f"{mode}-{tag}"
     timeout = min(timeout, max(remaining() - 30.0, 1.0))
     if timeout < 45:
         # never spawn (and then have to kill) a TPU-attaching worker that
         # cannot finish — killing a tunnel-holding process wedges the TPU
-        attempts.append({"tag": tag, "rc": "skipped-budget",
+        attempts.append({"tag": rec_tag, "rc": "skipped-budget",
                          "timeout_s": timeout})
         return None, "skipped (budget)"
     env = dict(os.environ)
     env.update(env_overrides)
     cmd = [sys.executable, "-c", WORKER % {"repo": REPO},
            tag, str(n), precision, mode]
-    rec = {"tag": tag, "n": n, "precision": precision, "mode": mode,
+    rec = {"tag": rec_tag, "n": n, "precision": precision, "mode": mode,
            "timeout_s": timeout, "env_overrides": env_overrides,
            "inherited_xla_flags": os.environ.get("XLA_FLAGS", "")}
     try:
@@ -235,7 +237,7 @@ def main():
         if remaining() < 120:
             log(f"budget exhausted before AOT {tag}")
             break
-        res, err = run_worker(f"aot-{tag}", tpu_env, n, precision, "aot",
+        res, err = run_worker(tag, tpu_env, n, precision, "aot",
                               timeout=420)
         if res is not None and res.get("backend") in ("tpu", "axon"):
             results[tag] = res
@@ -249,7 +251,7 @@ def main():
     have_tpu = any(r.get("backend") in ("tpu", "axon")
                    for r in results.values())
     if not have_tpu:
-        probe, err = run_worker("jit-probe-df32-128", tpu_env, 128, "df32",
+        probe, err = run_worker("probe-df32-128", tpu_env, 128, "df32",
                                 "jit", timeout=min(420.0, remaining() - 60))
         tpu_alive = probe is not None and probe.get("backend") in ("tpu",
                                                                    "axon")
@@ -262,7 +264,7 @@ def main():
             for tag, n, precision, need in plan:
                 if tag in results or remaining() < need:
                     continue
-                res, err = run_worker(f"jit-{tag}", tpu_env, n, precision,
+                res, err = run_worker(tag, tpu_env, n, precision,
                                       "jit", timeout=need)
                 if res is not None:
                     results[tag] = res

@@ -94,21 +94,33 @@ def measure(step, n_rays: int, compile_s: float, precision: str,
     """
     import jax
 
+    # Input chaining: v_{k+1} = v0 + 0 * grad_k.  Three properties matter
+    # on the remote axon backend: (a) the eager mul/add use FIXED python
+    # constants, so they compile ONCE and are cached — the old
+    # ``v0 + k * 1e-15`` baked a fresh constant per step and forced a
+    # ~1.5 s remote compile of a trivial add EVERY step (measured round
+    # 5: all workloads "stepped" at ~1.52 s); (b) each step's input
+    # depends on the previous step's output, so executions serialize by
+    # dataflow and cannot be deduplicated or overlapped; (c) the values
+    # are bit-identical to v0, so the measured graph is the production
+    # one.
     v0 = example_arg()
-    for i in range(3):
-        val, grad = step(v0 + i * 1e-15)
+    v = v0
+    for _ in range(3):
+        val, grad = step(v)
+        v = v0 + grad * 0.0
     jax.block_until_ready(grad)
+    float(val)
 
     n_iter = 0
     t0 = time.time()
     while True:
-        for j in range(25):
-            val, grad = step(v0 + (n_iter + j) * 1e-15)
-        jax.block_until_ready(grad)
-        float(val)  # hard host sync: the remote axon runtime has been
-        # seen returning from block_until_ready before identical queued
-        # dispatches finished; a scalar fetch of the LAST step's value
-        # cannot complete before every prior FIFO execution has
+        for _ in range(25):
+            val, grad = step(v)
+            v = v0 + grad * 0.0
+        float(val)  # hard host sync: block_until_ready has been seen
+        # returning early on the axon runtime; fetching the LAST step's
+        # value cannot complete before every prior FIFO execution has
         n_iter += 25
         if time.time() - t0 > min_wall_s or n_iter >= 2000:
             break
