@@ -215,12 +215,18 @@ def main():
         import bench_common as bc
         with open(bc.MANIFEST) as fh:
             manifest = json.load(fh)
+        fp = bc.graph_fingerprint()
         head = bc.git_head()
         for tag, e in manifest.items():
-            if e.get("git_head") != head:
-                log(f"AOT {tag} was built at {e.get('git_head', '?')[:12]}, "
-                    f"HEAD is {head[:12]} (stale build — still usable, "
-                    f"recorded in detail)")
+            if e.get("graph_fingerprint") == fp:
+                continue  # akbx + loss sources identical -> current build
+            log(f"AOT {tag} was built at {e.get('git_head', '?')[:12]} "
+                f"with a different graph fingerprint; HEAD is {head[:12]} "
+                f"(STALE build — measured numbers may not reflect HEAD; "
+                f"recorded in detail)")
+            attempts.append({"tag": f"stale-{tag}",
+                             "built_git_head": e.get("git_head"),
+                             "head": head})
     except Exception as e:
         manifest = {}
         log(f"no AOT manifest ({e}); will cold-compile within budget")

@@ -139,6 +139,28 @@ def measure(step, n_rays: int, compile_s: float, precision: str,
     }
 
 
+def graph_fingerprint() -> str:
+    """Hash of everything that determines the traced bench graphs: the
+    akbx package sources plus the make_step definition.  Doc/test/tooling
+    commits leave it unchanged, so a prebuilt AOT store stays verifiably
+    current; any engine/loss edit changes it and flags the store stale."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "akbx")
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs.sort()
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                path = os.path.join(root, fname)
+                h.update(os.path.relpath(path, pkg).encode())
+                with open(path, "rb") as fh:
+                    h.update(fh.read())
+    h.update(inspect.getsource(make_step).encode())
+    return h.hexdigest()
+
+
 def git_head() -> str:
     try:
         return subprocess.run(
@@ -187,6 +209,7 @@ def aot_build(tags=None, verbose: bool = True):
         manifest[tag] = {
             "n": n, "precision": precision, "compile_s": compile_s,
             "bytes": len(payload), "git_head": head,
+            "graph_fingerprint": graph_fingerprint(),
             "backend": jax.default_backend(),
             "device": getattr(dev, "device_kind", str(dev)),
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
