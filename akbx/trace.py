@@ -336,7 +336,12 @@ def _dev32_scan(consts32, dp0, dd0):
         return (dq, dd_new, valid), (dq, dd_new, n_unit, dt)
 
     valid0 = jnp.ones(dp0.shape[1], dtype=bool)
-    (_, _, valid), ys = jax.lax.scan(bounce, (dp0, dd0, valid0), consts32)
+    # unroll: the scan-form VJP stacks residuals per iteration and blocks
+    # cross-bounce fusion; at 4 bounces the unrolled HLO is tiny and this
+    # twin's VJP is the whole backward of the Pallas fast path (measured
+    # round 5: fwd 26.8 ms vs fwd+bwd 112.5 ms at 2048^2 before this)
+    (_, _, valid), ys = jax.lax.scan(bounce, (dp0, dd0, valid0), consts32,
+                                     unroll=4)
     return ys, valid
 
 

@@ -168,20 +168,34 @@ def main():
         try:
             if "throughput" not in stages:
                 raise RuntimeError("stage disabled via TRACE_STAGES")
+            only = os.environ.get("TRACE_THROUGHPUT_TAGS")
+            if only and tag not in only.split(","):
+                raise RuntimeError("stage disabled via TRACE_STAGES")
             fn = make()
             t0 = time.time()
             out = fn(v0)
             jax.block_until_ready(out)
             compile_s = time.time() - t0
-            for i in range(3):
-                out = fn(v0 + i * 1e-15)
-            jax.block_until_ready(out)
+
+            # input chaining with FIXED constants (see bench_common.
+            # measure): fresh python constants per step force a ~1.5 s
+            # remote compile of a trivial add on the axon backend, and
+            # data-dependence defeats dispatch dedup/overlap
+            def scalar_of(out):
+                return out[0] if isinstance(out, tuple) else out
+
+            v = v0
+            for _ in range(3):
+                out = fn(v)
+                v = v0 + scalar_of(out) * 0.0
+            float(scalar_of(out))
             n_iter = 0
             t0 = time.time()
             while True:
-                for j in range(25):
-                    out = fn(v0 + (n_iter + j) * 1e-15)
-                jax.block_until_ready(out)
+                for _ in range(25):
+                    out = fn(v)
+                    v = v0 + scalar_of(out) * 0.0
+                float(scalar_of(out))  # hard host sync
                 n_iter += 25
                 if time.time() - t0 > 4.0 or n_iter >= 2000:
                     break
@@ -228,12 +242,15 @@ def main():
         out = kfn(consts, dp64, dd64)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
+        # fixed-constant input chaining (see the throughput stage)
+        dp_v = dp64
         n_iter = 0
         t0 = time.time()
         while True:
-            for j in range(25):
-                out = kfn(consts, dp64 + (n_iter + j) * 1e-18, dd64)
-            jax.block_until_ready(out)
+            for _ in range(25):
+                out = kfn(consts, dp_v, dd64)
+                dp_v = dp64 + (out[0].ravel()[0] * 0.0).astype(dp64.dtype)
+            float(out[0].ravel()[0])  # hard host sync
             n_iter += 25
             if time.time() - t0 > 3.0 or n_iter >= 2000:
                 break
